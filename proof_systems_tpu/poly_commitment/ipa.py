@@ -1,0 +1,328 @@
+"""IPA polynomial commitment opening proofs (prove + batch verify).
+
+Protocol semantics follow poly-commitment/src/ipa.rs exactly:
+  - open (ipa.rs:687-927): combine polynomials with polyscale powers,
+    absorb shift_scalar(<p, b>), derive U from a base-field challenge via
+    the group map, run log2(n) folding rounds (L/R Pedersen MSMs,
+    128-bit endo-expanded challenges), finish with the Schnorr-style
+    (delta, z1, z2) and the folded base sg,
+  - verify (ipa.rs:195-385): ONE randomly-weighted MSM over
+    [H] ++ g ++ per-proof {sg, U, L/R, evaluation commitments, delta}
+    that must equal the identity; includes the <s, g> consistency term
+    for sg with s = b_poly_coefficients(challenges),
+  - challenges re-derivation (ipa.rs:1099-1140).
+
+TPU split: the coefficient/evaluation vectors (a, b) and the basis g
+live on device; folds are batched limb kernels; the basis fold
+g_lo + [u] g_hi is a uniform-scalar batched double-and-add
+(ops/curve_ops.scalar_mul_const). Challenge plumbing, tiny Schnorr
+algebra, and the final window recombinations stay on the host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from ..curves import AffinePoint, CurveParams
+from ..fields import FieldParams
+from ..ops import limb, msm, ntt
+from ..ops.curve_ops import APoint, JPoint, device_curve, scalar_mul_const
+from ..poseidon.sponge import FqSponge
+from .commitment import (
+    PolyComm,
+    b_poly,
+    b_poly_coefficients,
+    combined_inner_product,
+    shift_scalar,
+)
+
+
+@dataclass
+class OpeningProof:
+    """ipa.rs:1042 — {lr, delta, z1, z2, sg}."""
+
+    lr: list[tuple[AffinePoint, AffinePoint]]
+    delta: AffinePoint
+    z1: int
+    z2: int
+    sg: AffinePoint
+
+    def challenges(self, curve: CurveParams, sponge: FqSponge):
+        """Re-derive the round challenges from the transcript (ipa.rs:1124)."""
+        f = curve.scalar
+        _, endo_r = curve.endos
+        chal = []
+        for l, r in self.lr:
+            sponge.absorb_g([l])
+            sponge.absorb_g([r])
+            chal.append(sponge.challenge().to_field(endo_r, f))
+        chal_inv = [pow(c, -1, f.p) for c in chal]
+        return chal, chal_inv
+
+
+@dataclass
+class Evaluation:
+    """A commitment plus its evaluations[point][chunk] (commitment.rs)."""
+
+    commitment: PolyComm
+    evaluations: list[list[int]]
+
+
+@dataclass
+class BatchEvaluationProof:
+    sponge: FqSponge
+    evaluations: list[Evaluation]
+    evaluation_points: list[int]
+    polyscale: int
+    evalscale: int
+    opening: OpeningProof
+    combined_inner_product: int
+
+
+def _powers_dev(F: limb.DeviceField, x: int, n: int) -> jnp.ndarray:
+    """[1, x, .., x^(n-1)] as a device Montgomery array, log-depth doubling."""
+    p = F.params.p
+    arr = F.pack_mont([1], shape=(1,))
+    length = 1
+    while length < n:
+        step = F.pack_mont([pow(x, length, p)], shape=(1,))
+        arr = jnp.concatenate([arr, limb.mont_mul(F, arr, step)], axis=-1)
+        length *= 2
+    return arr[:, :n]
+
+
+def combine_polys_dev(
+    F: limb.DeviceField,
+    plnms: list[tuple[jnp.ndarray, list[int]]],
+    polyscale: int,
+    srs_len: int,
+):
+    """Σ_i polyscale^i · segment_i on device (utils.rs:103 combine_polys).
+
+    plnms: list of (coeffs (16, L) Montgomery, blinder per chunk).
+    Returns (combined (16, padded) Montgomery, combined blinder int).
+    """
+    p = F.params.p
+    acc = None
+    blind = 0
+    scale_i = 1
+    max_len = srs_len
+    parts = []
+    for coeffs, blinders in plnms:
+        L = coeffs.shape[-1]
+        nchunks = max(-(-L // srs_len), len(blinders))
+        for ci in range(nchunks):
+            seg = coeffs[:, ci * srs_len : (ci + 1) * srs_len]
+            if seg.shape[-1]:
+                parts.append((seg, scale_i))
+            blind = (blind + blinders[ci] * scale_i) % p
+            scale_i = scale_i * polyscale % p
+    for seg, s in parts:
+        pad = srs_len - seg.shape[-1]
+        if pad:
+            seg = jnp.concatenate(
+                [seg, jnp.zeros((limb.NLIMBS, pad), dtype=seg.dtype)], axis=-1
+            )
+        term = limb.mont_mul(F, seg, F.pack_mont([s], shape=(1,)))
+        acc = term if acc is None else limb.add(F, acc, term)
+    return acc, blind
+
+
+def open_proof(
+    srs,
+    plnms: list[tuple[jnp.ndarray, list[int]]],
+    elm: list[int],
+    polyscale: int,
+    evalscale: int,
+    sponge: FqSponge,
+    rng,
+) -> OpeningProof:
+    """IPA opening (ipa.rs:687). plnms as in combine_polys_dev; elm are the
+    evaluation points (ζ, ζω); sponge is the running Fq transcript."""
+    curve: CurveParams = srs.curve
+    f: FieldParams = curve.scalar
+    F = limb.device_field(f)
+    dc = device_curve(curve)
+    _, endo_r = curve.endos
+
+    n = len(srs.g)
+    rounds = (n - 1).bit_length() if n > 1 else 1
+    padded = 1 << rounds
+    assert padded == n, "power-of-two SRS expected"
+
+    a, blinding_factor = combine_polys_dev(F, plnms, polyscale, n)
+
+    # b_init[j] = Σ_i evalscale^i · elm_i^j
+    b_arr = None
+    scale = 1
+    for e in elm:
+        powers = _powers_dev(F, e, padded)
+        term = limb.mont_mul(F, powers, F.pack_mont([scale], shape=(1,)))
+        b_arr = term if b_arr is None else limb.add(F, b_arr, term)
+        scale = scale * evalscale % f.p
+    cip = F.unpack_mont(ntt.dot_mod(F, a, b_arr))[0]
+
+    sponge.absorb_fr([shift_scalar(curve, cip)])
+    t = sponge.challenge_fq()
+    u_base = curve.to_group(t)
+
+    g = srs.g_dev  # APoint (16, n)
+    b = b_arr
+    lr: list[tuple[AffinePoint, AffinePoint]] = []
+    blinders: list[tuple[int, int]] = []
+    chals: list[int] = []
+    chal_invs: list[int] = []
+
+    extra = dc.pack_affine([srs.h, u_base])
+
+    for _ in range(rounds):
+        m = a.shape[-1] // 2
+        a_lo, a_hi = a[:, :m], a[:, m:]
+        b_lo, b_hi = b[:, :m], b[:, m:]
+        g_lo = APoint(g.x[:, :m], g.y[:, :m], g.inf[:m])
+        g_hi = APoint(g.x[:, m:], g.y[:, m:], g.inf[m:])
+
+        rand_l = rng.field(f.p)
+        rand_r = rng.field(f.p)
+        ip_l = F.unpack_mont(ntt.dot_mod(F, a_hi, b_lo))[0]
+        ip_r = F.unpack_mont(ntt.dot_mod(F, a_lo, b_hi))[0]
+
+        def round_msm(g_half: APoint, vec, rand, ip):
+            pts = APoint(
+                jnp.concatenate([g_half.x, extra.x], axis=-1),
+                jnp.concatenate([g_half.y, extra.y], axis=-1),
+                jnp.concatenate([g_half.inf, extra.inf], axis=-1),
+            )
+            scal = jnp.concatenate(
+                [limb.from_mont(F, vec), F.pack([rand, ip])], axis=-1
+            )
+            return msm.msm(curve, scal[:, None, :], pts)[0]
+
+        l_pt = round_msm(g_lo, a_hi, rand_l, ip_l)
+        r_pt = round_msm(g_hi, a_lo, rand_r, ip_r)
+        lr.append((l_pt, r_pt))
+        blinders.append((rand_l, rand_r))
+        sponge.absorb_g([l_pt])
+        sponge.absorb_g([r_pt])
+
+        u_pre = sponge.challenge()
+        u = u_pre.to_field(endo_r, f)
+        u_inv = pow(u, -1, f.p)
+        chals.append(u)
+        chal_invs.append(u_inv)
+
+        a = limb.add(F, a_lo, limb.mont_mul(F, a_hi, F.pack_mont([u_inv], shape=(1,))))
+        b = limb.add(F, b_lo, limb.mont_mul(F, b_hi, F.pack_mont([u], shape=(1,))))
+        # fold bases: g = g_lo + [u] g_hi
+        import jax as _jax
+
+        if _jax.default_backend() not in ("tpu", "axon"):
+            lo_host = dc.unpack_affine(g_lo)
+            hi_host = dc.unpack_affine(g_hi)
+            folded = [
+                curve.add(lo_pt, curve.scalar_mul(u, hi_pt))
+                for lo_pt, hi_pt in zip(lo_host, hi_host)
+            ]
+            g = dc.pack_affine(folded)
+        else:
+            g_j = dc.add(
+                dc.to_jacobian(g_lo),
+                scalar_mul_const(dc, jnp.asarray(limb.int_to_limbs(u)), dc.to_jacobian(g_hi)),
+            )
+            g = dc.to_affine(g_j)
+
+    a0 = F.unpack_mont(a)[0]
+    b0 = F.unpack_mont(b)[0]
+    g0 = dc.unpack_affine(g)[0]
+
+    r_prime = blinding_factor
+    for (rand_l, rand_r), (u, u_inv) in zip(blinders, zip(chals, chal_invs)):
+        r_prime = (r_prime + rand_l * u_inv + rand_r * u) % f.p
+
+    d = rng.field(f.p)
+    r_delta = rng.field(f.p)
+    delta = curve.add(
+        curve.scalar_mul(d, curve.add(g0, curve.scalar_mul(b0, u_base))),
+        curve.scalar_mul(r_delta, srs.h),
+    )
+    sponge.absorb_g([delta])
+    c = sponge.challenge().to_field(endo_r, f)
+    z1 = (a0 * c + d) % f.p
+    z2 = (r_prime * c + r_delta) % f.p
+
+    return OpeningProof(lr=lr, delta=delta, z1=z1, z2=z2, sg=g0)
+
+
+def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
+    """Batched IPA verification (ipa.rs:195-385): one MSM == identity."""
+    curve: CurveParams = srs.curve
+    f: FieldParams = curve.scalar
+    _, endo_r = curve.endos
+    n = len(srs.g)
+    rounds = (n - 1).bit_length() if n > 1 else 1
+    padded = 1 << rounds
+    assert padded == n
+
+    points: list[AffinePoint] = [srs.h] + list(srs.g)
+    scalars: list[int] = [0] * (padded + 1)
+
+    rand_base = rng.field(f.p)
+    sg_rand_base = rng.field(f.p)
+    rand_base_i = 1
+    sg_rand_base_i = 1
+
+    for bp in batch:
+        sponge = bp.sponge
+        sponge.absorb_fr([shift_scalar(curve, bp.combined_inner_product)])
+        t = sponge.challenge_fq()
+        u_base = curve.to_group(t)
+
+        chal, chal_inv = bp.opening.challenges(curve, sponge)
+        sponge.absorb_g([bp.opening.delta])
+        c = sponge.challenge().to_field(endo_r, f)
+
+        b0 = 0
+        scale = 1
+        for e in bp.evaluation_points:
+            b0 = (b0 + scale * b_poly(f, chal, e)) % f.p
+            scale = scale * bp.evalscale % f.p
+
+        s = b_poly_coefficients(f, chal)
+
+        neg_rand_base_i = (-rand_base_i) % f.p
+        points.append(bp.opening.sg)
+        scalars.append((neg_rand_base_i * bp.opening.z1 - sg_rand_base_i) % f.p)
+        for i, si in enumerate(s):
+            scalars[i + 1] = (scalars[i + 1] + sg_rand_base_i * si) % f.p
+        scalars[0] = (scalars[0] - rand_base_i * bp.opening.z2) % f.p
+        points.append(u_base)
+        scalars.append(neg_rand_base_i * bp.opening.z1 * b0 % f.p)
+
+        rand_base_i_c_i = c * rand_base_i % f.p
+        for (l, r), (u_inv, u) in zip(bp.opening.lr, zip(chal_inv, chal)):
+            points.append(l)
+            scalars.append(rand_base_i_c_i * u_inv % f.p)
+            points.append(r)
+            scalars.append(rand_base_i_c_i * u % f.p)
+
+        # evaluation commitments: Σ polyscale^i chunks with eval recombination
+        xi_i = 1
+        for ev in bp.evaluations:
+            for ch in ev.commitment.chunks:
+                points.append(ch)
+                scalars.append(rand_base_i_c_i * xi_i % f.p)
+                xi_i = xi_i * bp.polyscale % f.p
+
+        points.append(u_base)
+        scalars.append(rand_base_i_c_i * bp.combined_inner_product % f.p)
+        points.append(bp.opening.delta)
+        scalars.append(rand_base_i)
+
+        rand_base_i = rand_base_i * rand_base % f.p
+        sg_rand_base_i = sg_rand_base_i * sg_rand_base % f.p
+
+    dc = device_curve(curve)
+    res = msm.msm_host_scalars(curve, [scalars], dc.pack_affine(points))[0]
+    return res is None

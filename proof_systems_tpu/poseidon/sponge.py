@@ -167,6 +167,16 @@ class FqSponge:
     def digest_fq(self) -> int:
         return self.squeeze_field()
 
+    def clone(self) -> "FqSponge":
+        out = FqSponge.__new__(FqSponge)
+        out.curve = self.curve
+        out.sponge = ArithmeticSponge(self.sponge.params)
+        out.sponge.state = list(self.sponge.state)
+        out.sponge.mode = self.sponge.mode
+        out.sponge.count = self.sponge.count
+        out.last_squeezed = list(self.last_squeezed)
+        return out
+
 
 class FrSponge:
     """Sponge over the scalar field (DefaultFrSponge, sponge.rs:262-278)."""
@@ -195,6 +205,10 @@ class FrSponge:
 
     def challenge(self) -> ScalarChallenge:
         return ScalarChallenge(self.squeeze(CHALLENGE_LENGTH_IN_LIMBS))
+
+    def digest(self) -> int:
+        """plonk_sponge.rs digest: squeeze one full field element."""
+        return self.sponge.squeeze()
 
 
 def poseidon_hash(params: PoseidonParams, inputs: list[int]) -> int:

@@ -1,0 +1,378 @@
+"""The kimchi prover (kimchi/src/prover.rs:137-1460), TPU-native.
+
+Protocol order follows create_recursive exactly (see SURVEY.md §3.2);
+every column-sized computation runs as batched limb kernels on device:
+  - witness commit: one batched iNTT + one batched MSM,
+  - permutation z: batched products + blocked-scan prefix product
+    (perm_aggreg, permutation.rs:436-560),
+  - quotient: one AST walk over d8 (circuits/expr.eval_dev) + the
+    hand-written permutation contribution (perm_quot, permutation.rs:210),
+  - divisions: block suffix sums / affine-composition scans (ops/poly),
+  - ζ/ζω evaluations: batched <coeffs, powers> dot products,
+  - the IPA opening (poly_commitment/ipa.open_proof).
+
+Currently supports num_chunks == 1 (zk_rows == 3); chunked circuits are
+tracked for a later milestone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from .circuits import expr as expr_mod
+from .circuits.gate import COLUMNS, PERMUTS, GateType
+from .ops import limb, ntt, poly
+from .ops.limb import NLIMBS
+from .poly_commitment.commitment import PolyComm
+from .poly_commitment.ipa import open_proof
+from .poseidon.sponge import FrSponge
+from .poseidon import fp_kimchi, fq_kimchi
+from .proof import (
+    PointEvaluations,
+    ProofEvaluations,
+    ProverCommitments,
+    ProverProof,
+)
+from .prover_index import ALWAYS_ON, ProverIndex
+from .verifier_index import sponge_for
+
+
+def fr_sponge_for(f):
+    params = fp_kimchi if f.name == "Fp" else fq_kimchi
+    return FrSponge(params)
+
+
+def create_proof(
+    index: ProverIndex,
+    witness: list[list[int]],
+    rng,
+    prev_challenges=(),
+) -> ProverProof:
+    cs = index.cs
+    f = cs.f
+    p = f.p
+    F = limb.device_field(f)
+    curve = index.curve
+    d1, d8 = cs.domain.d1, cs.domain.d8
+    n = d1.n
+    assert index.num_chunks == 1, "chunked proving lands in a later milestone"
+    assert cs.zk_rows == 3
+    zk = cs.zk_rows
+    _, endo_r = curve.endos
+
+    # -- 1. pad witness + randomize zk rows --------------------------------
+    witness = [list(col) for col in witness]
+    length_witness = len(witness[0])
+    assert length_witness <= n - zk, "no room for zk rows"
+    for col in witness:
+        col.extend([0] * (n - len(col)))
+        for row in range(n - zk, n):
+            col[row] = rng.field(p)
+    public = witness[0][: cs.public]
+
+    # -- 2. Fq transcript: vk digest, prev challenges ----------------------
+    fq_sponge = sponge_for(curve)
+    vk = index.verifier_index()
+    fq_sponge.absorb_fq([vk.digest()])
+    for rc in prev_challenges:
+        fq_sponge.absorb_g(rc.comm.chunks)
+
+    # -- 3. public polynomial (negated) ------------------------------------
+    public_evals_d1 = [(-x) % p for x in public] + [0] * (n - cs.public)
+    public_dev = F.pack_mont(public_evals_d1, shape=(1, n))
+    public_coeffs = d1.intt(public_dev)  # (16, 1, n)
+    public_comm_nh = index.srs.commit_coeffs_dev(public_coeffs, 1)[0]
+    public_comm = index.srs.mask(public_comm_nh, [1])
+    fq_sponge.absorb_g(public_comm.chunks)
+
+    # -- 4. witness commitments (hiding) -----------------------------------
+    flat_w = [v for col in witness for v in col]
+    w_evals = F.pack_mont(flat_w, shape=(COLUMNS, n))  # (16, 15, n)
+    w_coeffs = d1.intt(w_evals)
+    w_comms_nh = index.srs.commit_coeffs_dev(w_coeffs, 1)
+    w_blinders = [[rng.field(p)] for _ in range(COLUMNS)]
+    w_comms = [index.srs.mask(c, b) for c, b in zip(w_comms_nh, w_blinders)]
+    for c in w_comms:
+        fq_sponge.absorb_g(c.chunks)
+
+    # -- 5. beta, gamma (raw 128-bit challenges) ---------------------------
+    beta = fq_sponge.challenge().value
+    gamma = fq_sponge.challenge().value
+
+    # -- 6. permutation aggregation z --------------------------------------
+    sigma_d1_dev = F.pack_mont(
+        [v for col in cs.sigma_d1 for v in col], shape=(PERMUTS, n)
+    )
+    beta_m = F.const_mont(beta, (1, 1))
+    gamma_m = F.const_mont(gamma, (1, 1))
+    sid_dev = F.pack_mont(cs.sid, shape=(1, n))
+    shift_dev = F.pack_mont(cs.shift, shape=(PERMUTS, 1))
+    w7 = w_evals[:, :PERMUTS]
+    num_f = limb.add(
+        F, limb.add(F, w7, limb.mont_mul(F, limb.mont_mul(F, sid_dev, beta_m), shift_dev)), gamma_m
+    )
+    den_f = limb.add(
+        F, limb.add(F, w7, limb.mont_mul(F, sigma_d1_dev, beta_m)), gamma_m
+    )
+
+    def prod_rows(x):  # product over the 7 columns -> (16, n)
+        acc = x[:, 0]
+        for i in range(1, PERMUTS):
+            acc = limb.mont_mul(F, acc, x[:, i])
+        return acc
+
+    ratio = limb.mont_mul(
+        F, prod_rows(num_f), limb.batch_inverse(F, prod_rows(den_f))
+    )  # (16, n)
+    pref = limb.prefix_mul(F, ratio)  # P[j] = Π_{k<=j} ratio_k
+    z_check = F.unpack_mont(pref[:, n - zk - 1 : n - zk])[0]
+    if z_check != 1:
+        raise ValueError("permutation argument: final z value is not 1")
+    rand1, rand2 = rng.field(p), rng.field(p)
+    z_evals = jnp.concatenate(
+        [
+            F.one_mont((1,)),
+            pref[:, : n - zk],  # z[1..n-2]
+            F.pack_mont([rand1, rand2], shape=(2,)),
+        ],
+        axis=-1,
+    )[:, :n]
+    z_coeffs = d1.intt(z_evals)
+    z_comm_nh = index.srs.commit_coeffs_dev(z_coeffs[:, None, :], 1)[0]
+    z_blinder = [rng.field(p)]
+    z_comm = index.srs.mask(z_comm_nh, z_blinder)
+    fq_sponge.absorb_g(z_comm.chunks)
+
+    # -- 7. alpha ----------------------------------------------------------
+    alpha = fq_sponge.challenge().to_field(endo_r, f)
+    index.alphas.instantiate(alpha, p)
+
+    # -- 8. quotient -------------------------------------------------------
+    def to_d8(coeffs):  # (16, b, n) -> evals on d8
+        padded = jnp.concatenate(
+            [coeffs, jnp.zeros((NLIMBS, *coeffs.shape[1:-1], 7 * n), dtype=coeffs.dtype)],
+            axis=-1,
+        )
+        return d8.ntt(padded)
+
+    w8 = to_d8(w_coeffs)  # (16, 15, 8n)
+    z8 = to_d8(z_coeffs[:, None, :])[:, 0]  # (16, 8n)
+    cd = index.column_data
+
+    columns = {expr_mod.col_witness(i): w8[:, i] for i in range(COLUMNS)}
+    columns.update({expr_mod.col_coeff(i): cd.coefficients8[:, i] for i in range(COLUMNS)})
+    columns[expr_mod.COL_Z] = z8
+    for g in ALWAYS_ON:
+        columns[expr_mod.col_index(g)] = cd.selector8[g]
+
+    from .poseidon import fp_kimchi as _pk, fq_kimchi as _qk
+
+    mds_params = _pk if f.name == "Fp" else _qk
+    ctx = expr_mod.DeviceEvalContext(
+        F=F,
+        columns=columns,
+        challenges={"alpha": alpha, "beta": beta, "gamma": gamma, "joint_combiner": 0},
+        endo=cs.endo,
+        mds=[list(r) for r in mds_params.mds],
+        domain_n=n,
+        zk_rows=zk,
+        omega=d1.group_gen,
+        vanishes_on_zk_and_previous=cd.vanishes_zk_prev8,
+    )
+    gate_evals8 = expr_mod.eval_dev(index.linearization_expr, ctx)  # (16, 8n)
+
+    # permutation contribution (perm_quot)
+    a0, a1, a2 = index.alphas.get_alphas("permutation", 3)
+    shifts_side = z8
+    for i in range(PERMUTS):
+        term = limb.add(
+            F,
+            limb.add(F, w8[:, i], gamma_m[:, 0]),
+            limb.mont_mul(
+                F, cd.x_d8, F.const_mont(beta * cs.shift[i] % p, (1,))
+            ),
+        )
+        shifts_side = limb.mont_mul(F, shifts_side, term)
+    sigmas_side = jnp.roll(z8, -8, axis=-1)  # z(x·ω) on d8
+    for i in range(PERMUTS):
+        term = limb.add(
+            F,
+            limb.add(F, w8[:, i], gamma_m[:, 0]),
+            limb.mont_mul(F, cd.sigma8[:, i], F.const_mont(beta, (1,))),
+        )
+        sigmas_side = limb.mont_mul(F, sigmas_side, term)
+    perm8 = limb.mont_mul(
+        F,
+        limb.mont_mul(F, limb.sub(F, shifts_side, sigmas_side), F.const_mont(a0, (1,))),
+        cd.zkpl8,
+    )
+
+    t8 = limb.add(F, gate_evals8, perm8)
+    f_coeffs = d8.intt(t8)  # (16, 8n)
+    # add public polynomial (coefficients, low block)
+    f_coeffs = f_coeffs.at[:, :n].set(limb.add(F, f_coeffs[:, :n], public_coeffs[:, 0]))
+    quotient, _rem = poly.divide_by_vanishing(F, f_coeffs, n)  # (16, 7n)
+
+    # bnd terms: (z-1)/(x-1)*α1 + (z-1)/(x-ω^{n-zk})*α2
+    z_minus_1 = z_coeffs.at[:, 0].set(
+        limb.sub(F, z_coeffs[:, 0:1], F.one_mont((1,)))[:, 0]
+    )
+    bnd1, r1 = poly.divide_by_linear(F, z_minus_1, 1)
+    bnd2, r2 = poly.divide_by_linear(F, z_minus_1, cs.sid[n - zk])
+    assert r1 == 0 and r2 == 0, "bnd division remainder"
+    bnd = limb.add(
+        F,
+        limb.mont_mul(F, bnd1, F.const_mont(a1, (1,))),
+        limb.mont_mul(F, bnd2, F.const_mont(a2, (1,))),
+    )  # (16, n-1)
+    quotient = quotient.at[:, : n - 1].set(
+        limb.add(F, quotient[:, : n - 1], bnd)
+    )
+
+    t_comm_nh = index.srs.commit_coeffs_dev(quotient[:, None, :], 7)[0]
+    t_blinders = [rng.field(p) for _ in range(7)]
+    t_comm = index.srs.mask(t_comm_nh, t_blinders)
+    fq_sponge.absorb_g(t_comm.chunks)
+
+    # -- 10. zeta + evaluations -------------------------------------------
+    zeta = fq_sponge.challenge().to_field(endo_r, f)
+    omega = d1.group_gen
+    zeta_omega = zeta * omega % p
+
+    pow_z = poly.powers_dev(F, zeta, n)
+    pow_zw = poly.powers_dev(F, zeta_omega, n)
+
+    # batched coefficient stack: [public, z, w×15, s×6, coeff×15, sel×6]
+    sel_stack = jnp.stack([cd.selector_coeff[g] for g in ALWAYS_ON], axis=1)
+    stack = jnp.concatenate(
+        [
+            public_coeffs,  # 1
+            z_coeffs[:, None, :],  # 1
+            w_coeffs,  # 15
+            cd.sigma_coeff[:, : PERMUTS - 1],  # 6
+            cd.coefficients_coeff,  # 15
+            sel_stack,  # 6
+        ],
+        axis=1,
+    )  # (16, 44, n)
+    ev_z = poly.eval_at(F, stack, pow_z)
+    ev_zw = poly.eval_at(F, stack, pow_zw)
+
+    def pe(i: int) -> PointEvaluations:
+        return PointEvaluations([ev_z[i]], [ev_zw[i]])
+
+    evals = ProofEvaluations(
+        public=pe(0),
+        z=pe(1),
+        w=[pe(2 + i) for i in range(15)],
+        s=[pe(17 + i) for i in range(6)],
+        coefficients=[pe(23 + i) for i in range(15)],
+        generic_selector=pe(38),
+        poseidon_selector=pe(39),
+        complete_add_selector=pe(40),
+        mul_selector=pe(41),
+        emul_selector=pe(42),
+        endomul_scalar_selector=pe(43),
+    )
+
+    # -- 11. ft polynomial (Maller) ---------------------------------------
+    zeta_n = pow(zeta, n, p)  # = zeta_to_srs_len = zeta_to_domain_size here
+    combined = evals.combine(zeta_n, pow(zeta_omega, n, p), p)
+    zkpm_zeta = cs.eval_zkpm(zeta)
+    perm_scalar = combined.z.zeta_omega[0] * beta % p * a0 % p * zkpm_zeta % p
+    for i in range(PERMUTS - 1):
+        perm_scalar = (
+            perm_scalar
+            * ((gamma + beta * combined.s[i].zeta[0] + combined.w[i].zeta[0]) % p)
+            % p
+        )
+    perm_scalar = (-perm_scalar) % p
+
+    f_lin = limb.mont_mul(
+        F, cd.sigma_coeff[:, PERMUTS - 1], F.const_mont(perm_scalar, (1,))
+    )  # (16, n)
+    # collapse the 7 t chunks with powers of ζ^n
+    t_collapsed = quotient[:, :n]
+    zn_pow = zeta_n
+    for i in range(1, 7):
+        chunk = quotient[:, i * n : (i + 1) * n]
+        pad = n - chunk.shape[-1]
+        if pad:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((NLIMBS, pad), dtype=chunk.dtype)], axis=-1
+            )
+        t_collapsed = limb.add(
+            F, t_collapsed, limb.mont_mul(F, chunk, F.const_mont(zn_pow, (1,)))
+        )
+        zn_pow = zn_pow * zeta_n % p
+    ft_coeffs = limb.sub(
+        F, f_lin, limb.mont_mul(F, t_collapsed, F.const_mont((zeta_n - 1) % p, (1,)))
+    )
+    # blinding of ft: -(ζ^n - 1)·Σ ζ^{n i} w_t_i
+    t_blind_collapsed = 0
+    zp = 1
+    for w_t in t_blinders:
+        t_blind_collapsed = (t_blind_collapsed + zp * w_t) % p
+        zp = zp * zeta_n % p
+    blinding_ft = (-(zeta_n - 1) * t_blind_collapsed) % p
+
+    ft_eval1 = poly.eval_at(F, ft_coeffs[:, None, :], pow_zw)[0]
+
+    # -- 12. Fr transcript -------------------------------------------------
+    fq_sponge_before_evaluations = fq_sponge.clone()
+    fr_sponge = fr_sponge_for(f)
+    fr_sponge.absorb(fq_sponge.digest())
+    prev_sponge = fr_sponge_for(f)
+    for rc in prev_challenges:
+        prev_sponge.absorb_multiple(rc.chals)
+    fr_sponge.absorb(prev_sponge.digest())
+    fr_sponge.absorb(ft_eval1)
+    fr_sponge.absorb_multiple(evals.public.zeta)
+    fr_sponge.absorb_multiple(evals.public.zeta_omega)
+    for pt in evals.ordered_for_fr_sponge():
+        fr_sponge.absorb_multiple(pt.zeta)
+        fr_sponge.absorb_multiple(pt.zeta_omega)
+
+    v = fr_sponge.challenge().to_field(endo_r, f)
+    u = fr_sponge.challenge().to_field(endo_r, f)
+
+    # -- 13. assemble opening ----------------------------------------------
+    plnms = []
+    for rc in prev_challenges:
+        from .poly_commitment.commitment import b_poly_coefficients
+
+        coeffs = b_poly_coefficients(f, rc.chals)
+        plnms.append((F.pack_mont(coeffs, shape=(len(coeffs),)), [0] * len(rc.comm)))
+    plnms.append((public_coeffs[:, 0], [1]))
+    plnms.append((ft_coeffs, [blinding_ft]))
+    plnms.append((z_coeffs, z_blinder))
+    for g in ALWAYS_ON:
+        plnms.append((cd.selector_coeff[g], [1]))
+    for i in range(COLUMNS):
+        plnms.append((w_coeffs[:, i], w_blinders[i]))
+    for i in range(COLUMNS):
+        plnms.append((cd.coefficients_coeff[:, i], [0]))
+    for i in range(PERMUTS - 1):
+        plnms.append((cd.sigma_coeff[:, i], [0]))
+
+    opening = open_proof(
+        index.srs,
+        plnms,
+        [zeta, zeta_omega],
+        v,
+        u,
+        fq_sponge_before_evaluations,
+        rng,
+    )
+
+    return ProverProof(
+        commitments=ProverCommitments(
+            w_comm=w_comms, z_comm=z_comm, t_comm=t_comm
+        ),
+        proof=opening,
+        evals=evals,
+        ft_eval1=ft_eval1,
+        prev_challenges=list(prev_challenges),
+    )

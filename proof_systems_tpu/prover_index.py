@@ -1,0 +1,180 @@
+"""Prover index: device-resident column data + linearization.
+
+Mirrors kimchi/src/prover_index.rs (ProverIndex::create, :66) and the
+column precomputation in constraints.rs:700-770 (ColumnEvaluations),
+re-shaped for the TPU: every indexed column lives as one batched limb
+array (coefficient form for ζ-evaluation dot products, d8 evaluation
+form for the quotient), produced by two batched NTT passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax.numpy as jnp
+
+from .circuits import expr as expr_mod
+from .circuits.alphas import Alphas, default_alphas
+from .circuits.constraints import ConstraintSystem
+from .circuits.gate import COLUMNS, PERMUTS, GateType
+from .circuits.polynomials import gates as gate_constraints
+from .curves import CurveParams
+from .ops import limb, poly
+from .ops.limb import NLIMBS
+from .poly_commitment.commitment import PolyComm
+from .poseidon import FqSponge, fp_kimchi, fq_kimchi
+from .verifier_index import VerifierIndex
+
+ALWAYS_ON = [
+    GateType.Generic,
+    GateType.Poseidon,
+    GateType.CompleteAdd,
+    GateType.VarBaseMul,
+    GateType.EndoMul,
+    GateType.EndoMulScalar,
+]
+
+
+@dataclass
+class ColumnData:
+    """Batched device columns (coefficient + d8 evaluation forms)."""
+
+    sigma_coeff: Any  # (16, 7, n)
+    sigma8: Any  # (16, 7, 8n)
+    coefficients_coeff: Any  # (16, 15, n)
+    coefficients8: Any  # (16, 15, 8n)
+    selector_coeff: dict  # GateType -> (16, n)
+    selector8: dict  # GateType -> (16, 8n)
+    zkpl8: Any  # permutation vanishing poly on d8 (16, 8n)
+    vanishes_zk_prev8: Any  # vanishes_on_last_n_rows(zk+1) on d8
+    x_d8: Any  # the polynomial x evaluated on d8 (= d8 domain elements)
+
+
+class ProverIndex:
+    def __init__(self, cs: ConstraintSystem, curve: CurveParams, srs, lazy: bool = False):
+        """curve: the commitment curve (Vesta for Fp proofs); srs over it."""
+        assert curve.scalar is cs.f
+        self.cs = cs
+        self.curve = curve
+        self.srs = srs
+        self.max_poly_size = len(srs.g)
+        n = cs.domain.d1.n
+        self.num_chunks = 1 if n < self.max_poly_size else n // self.max_poly_size
+        # endo used in-circuit = endo_q of the *other* curve, which lives in
+        # our scalar field (curve.rs other_curve_endo; prover_index.rs:192)
+        from .curves import Pallas, Vesta
+
+        other = Pallas if curve.name == "Vesta" else Vesta
+        cs.endo = other.endos[0]
+
+        self.alphas: Alphas = default_alphas()
+        self.linearization_expr = self._build_linearization()
+        self.column_data = self._build_columns()
+        self._verifier_index: VerifierIndex | None = None
+
+    # -- linearization (constant term only; index_terms empty in berkeley) --
+
+    def _build_linearization(self):
+        f = self.cs.f
+        total = None
+        for g in ALWAYS_ON:
+            term = gate_constraints.combined(g, f, self.alphas)
+            total = term if total is None else total + term
+        return total
+
+    # -- column device data ------------------------------------------------
+
+    def _build_columns(self) -> ColumnData:
+        cs = self.cs
+        f = cs.f
+        F = limb.device_field(f)
+        d1, d8 = cs.domain.d1, cs.domain.d8
+        n = d1.n
+
+        host_cols: list[list[int]] = []
+        host_cols += cs.sigma_d1  # 7
+        host_cols += cs.coefficients_d1  # 15
+        sel_order = list(ALWAYS_ON)
+        host_cols += [cs.selectors_d1[g] for g in sel_order]  # 6
+
+        flat = [v for col in host_cols for v in col]
+        arr = F.pack_mont(flat, shape=(len(host_cols), n))
+        coeffs = d1.intt(arr)
+        padded = jnp.concatenate(
+            [coeffs, jnp.zeros((NLIMBS, len(host_cols), 7 * n), dtype=coeffs.dtype)], axis=-1
+        )
+        evals8 = d8.ntt(padded)
+
+        # zk polynomials evaluated on d8 from the d8 element vector
+        x_d8 = poly.powers_dev(F, d8.group_gen, d8.n)
+        omega = d1.group_gen
+
+        def prod_of_linear(roots: list[int]):
+            acc = None
+            for r in roots:
+                term = limb.sub(F, x_d8, F.const_mont(r, (1,)))
+                acc = term if acc is None else limb.mont_mul(F, acc, term)
+            return acc
+
+        zk = cs.zk_rows
+        zkpl_roots = [
+            pow(omega, n - zk, f.p),
+            pow(omega, n - zk + 1, f.p),
+            pow(omega, n - 1, f.p),
+        ]
+        vzp_roots = [pow(omega, n - (zk + 1) + i, f.p) for i in range(zk + 1)]
+
+        return ColumnData(
+            sigma_coeff=coeffs[:, :7],
+            sigma8=evals8[:, :7],
+            coefficients_coeff=coeffs[:, 7:22],
+            coefficients8=evals8[:, 7:22],
+            selector_coeff={g: coeffs[:, 22 + i] for i, g in enumerate(sel_order)},
+            selector8={g: evals8[:, 22 + i] for i, g in enumerate(sel_order)},
+            zkpl8=prod_of_linear(zkpl_roots),
+            vanishes_zk_prev8=prod_of_linear(vzp_roots),
+            x_d8=x_d8,
+        )
+
+    # -- verifier index ----------------------------------------------------
+
+    def verifier_index(self) -> VerifierIndex:
+        if self._verifier_index is None:
+            cd = self.column_data
+            all_coeffs = jnp.concatenate(
+                [
+                    cd.sigma_coeff,
+                    cd.coefficients_coeff,
+                    jnp.stack([cd.selector_coeff[g] for g in ALWAYS_ON], axis=1),
+                ],
+                axis=1,
+            )  # (16, 28, n)
+            comms = self.srs.commit_coeffs_dev(all_coeffs, self.num_chunks)
+            # selector commitments are fixed-hiding (+1·H), verifier_index.rs:173
+            ones = [1] * self.num_chunks
+            for i in range(22, 28):
+                comms[i] = self.srs.mask(comms[i], ones)
+            self._verifier_index = VerifierIndex(
+                curve=self.curve,
+                domain=self.cs.domain.d1,
+                max_poly_size=self.max_poly_size,
+                zk_rows=self.cs.zk_rows,
+                public=self.cs.public,
+                sigma_comm=comms[:7],
+                coefficients_comm=comms[7:22],
+                generic_comm=comms[22],
+                psm_comm=comms[23],
+                complete_add_comm=comms[24],
+                mul_comm=comms[25],
+                emul_comm=comms[26],
+                endomul_scalar_comm=comms[27],
+                shift=self.cs.shift,
+                endo=self.cs.endo,
+                zkpm_eval=self.cs.eval_zkpm,
+                srs=self.srs,
+                linearization_expr=self.linearization_expr,
+                alphas=self.alphas,
+                zk_w=self.cs.zk_w(),
+            )
+        return self._verifier_index

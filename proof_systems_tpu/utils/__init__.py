@@ -1,0 +1,3 @@
+from .rng import SystemRng, TestRng
+
+__all__ = ["SystemRng", "TestRng"]

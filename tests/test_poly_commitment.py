@@ -1,0 +1,91 @@
+"""SRS derivation parity + IPA commit/open/verify roundtrip."""
+
+import random
+
+import pytest
+
+from proof_systems_tpu.curves import Pallas, Vesta
+from proof_systems_tpu.ops import limb
+from proof_systems_tpu.poly_commitment import srs as srs_mod
+from proof_systems_tpu.poly_commitment.commitment import combined_inner_product
+from proof_systems_tpu.poly_commitment.ipa import (
+    BatchEvaluationProof,
+    Evaluation,
+    open_proof,
+    verify_batch,
+)
+from proof_systems_tpu.poseidon import FqSponge, fq_kimchi
+from proof_systems_tpu.utils import TestRng
+
+
+@pytest.mark.parametrize(
+    "curve,path",
+    [(Vesta, "/root/reference/srs/vesta.srs"), (Pallas, "/root/reference/srs/pallas.srs")],
+    ids=["vesta", "pallas"],
+)
+def test_srs_derivation_matches_reference_files(curve, path):
+    """Byte-parity: our blake2b+SvdW derivation == the shipped .srs files
+    (poly-commitment/src/ipa.rs:441-470; srs/*.srs are 2^16 points)."""
+    ref_g, ref_h = srs_mod.load_reference_srs(path, curve, limit=8)
+    got = [srs_mod.derive_g(curve, i) for i in range(8)]
+    assert got == ref_g
+    assert srs_mod.derive_h(curve) == ref_h
+
+
+def host_eval(f, coeffs, x):
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % f.p
+    return acc
+
+
+def test_ipa_open_verify_roundtrip():
+    curve = Vesta
+    f = curve.scalar  # Fp
+    rng = random.Random(7)
+    n = 16
+    srs = srs_mod.SRS(curve, [srs_mod.derive_g(curve, i) for i in range(n)], srs_mod.derive_h(curve))
+
+    polys = [
+        [rng.randrange(f.p) for _ in range(n)],
+        [rng.randrange(f.p) for _ in range(n)],
+    ]
+    blinders = [[rng.randrange(f.p)], [rng.randrange(f.p)]]
+    comms = srs.commit_coeffs_host(polys)
+    masked = [srs.mask(c, w) for c, w in zip(comms, blinders)]
+
+    zeta = rng.randrange(f.p)
+    zeta_w = rng.randrange(f.p)
+    elm = [zeta, zeta_w]
+    polyscale = rng.randrange(f.p)
+    evalscale = rng.randrange(f.p)
+
+    # evals[poly][point][chunk]
+    evals = [[[host_eval(f, c, e)] for e in elm] for c in polys]
+    cip = combined_inner_product(f, polyscale, evalscale, evals)
+
+    F = limb.device_field(f)
+    plnms = [(F.pack_mont(c, shape=(n,)), w) for c, w in zip(polys, blinders)]
+
+    opening = open_proof(
+        srs, plnms, elm, polyscale, evalscale, FqSponge(fq_kimchi, curve), TestRng(1)
+    )
+
+    batch = [
+        BatchEvaluationProof(
+            sponge=FqSponge(fq_kimchi, curve),
+            evaluations=[Evaluation(c, ev) for c, ev in zip(masked, evals)],
+            evaluation_points=elm,
+            polyscale=polyscale,
+            evalscale=evalscale,
+            opening=opening,
+            combined_inner_product=cip,
+        )
+    ]
+    assert verify_batch(srs, batch, TestRng(2))
+
+    # a corrupted evaluation must fail
+    bad = [[[(v[0] + 1) % f.p] for v in ev] for ev in evals]
+    batch[0].evaluations = [Evaluation(c, ev) for c, ev in zip(masked, bad)]
+    batch[0].sponge = FqSponge(fq_kimchi, curve)
+    assert not verify_batch(srs, batch, TestRng(3))
