@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Headline benchmark: kimchi proof creation, vs the reference baseline.
+
+Reference numbers (BASELINE.md, README.md:37-41): proving time for a
+2^k-gate generic circuit over Vesta — 0.6 s at 2^11, 3.3 s at 2^15,
+6.3 s at 2^16. BENCH_K selects k (default 11).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+vs_baseline > 1 means faster than the reference.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache_tpu")
+
+BASELINES = {11: 0.6, 15: 3.3, 16: 6.3}
+
+
+def main() -> int:
+    k = int(os.environ.get("BENCH_K", "11"))
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from proof_systems_tpu.circuits.builders import bench_circuit, bench_witness
+    from proof_systems_tpu.circuits.constraints import ConstraintSystem
+    from proof_systems_tpu.curves import Vesta
+    from proof_systems_tpu.fields import Fp
+    from proof_systems_tpu.poly_commitment.srs import SRS
+    from proof_systems_tpu.prover import create_proof
+    from proof_systems_tpu.prover_index import ProverIndex
+    from proof_systems_tpu.utils import SystemRng
+    from proof_systems_tpu.verifier import verify
+
+    n = 1 << k
+    num_gates = n - 10
+    srs = SRS.create(Vesta, n)
+    cs = ConstraintSystem.create(Fp, bench_circuit(Fp, num_gates), public=0, max_poly_size=n)
+    index = ProverIndex(cs, Vesta, srs)
+    index.verifier_index()  # setup outside the timed region
+    witness = bench_witness(num_gates)
+    rng = SystemRng()
+
+    # warmup: one proof to trigger all compilation
+    proof = create_proof(index, witness, rng)
+    assert verify(index.verifier_index(), proof, [], rng), "benchmark proof failed to verify"
+
+    t0 = time.time()
+    proof = create_proof(index, witness, rng)
+    dt = time.time() - t0
+
+    baseline = BASELINES.get(k)
+    out = {
+        "metric": f"kimchi_proving_time_2^{k}",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline / dt, 3) if baseline else None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
