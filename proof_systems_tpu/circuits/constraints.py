@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from ..fields import FieldParams
 from .domains import EvaluationDomains, domain_size
 from .gate import COLUMNS, PERMUTS, CircuitGate, GateType
+from .lookup import LookupConstraintSystem, LookupInfo, LookupTable
 
 
 def zk_rows_strict_lower_bound(num_chunks: int) -> int:
@@ -64,6 +65,7 @@ class ConstraintSystem:
     coefficients_d1: list[list[int]]  # COLUMNS x n
     feature_flags: set = field(default_factory=set)
     endo: int = 0
+    lookup_cs: "LookupConstraintSystem | None" = None
 
     @classmethod
     def create(
@@ -72,9 +74,28 @@ class ConstraintSystem:
         gates: list[CircuitGate],
         public: int = 0,
         max_poly_size: int | None = None,
+        fixed_lookup_tables: "list[LookupTable] | None" = None,
     ) -> "ConstraintSystem":
         assert gates, "empty gate list"
-        lookup_domain_size = 0  # lookups wired in later
+        # lookup table length drives the domain fixpoint (constraints.rs:940-960)
+        lookup_domain_size = 0
+        info = LookupInfo.from_gates(gates)
+        if info is not None or fixed_lookup_tables:
+            seen = set()
+            total = 0
+            has_id_0 = False
+            for t in fixed_lookup_tables or []:
+                seen.add(t.id)
+                total += len(t)
+                has_id_0 |= t.id == 0
+            if info is not None:
+                for pat in info.patterns:
+                    t = pat.table()
+                    if t is not None and t.id not in seen:
+                        seen.add(t.id)
+                        total += len(t)
+                        has_id_0 |= t.id == 0
+            lookup_domain_size = total if has_id_0 else total + 1
 
         circuit_lower_bound = max(len(gates), lookup_domain_size + 1)
         zk_rows = 3
@@ -136,6 +157,10 @@ class ConstraintSystem:
             for i in range(COLUMNS)
         ]
 
+        lookup_cs = LookupConstraintSystem.create(
+            f, gates, n, zk_rows, fixed_lookup_tables
+        ) if (info is not None or fixed_lookup_tables) else None
+
         return cls(
             f=f,
             gates=gates,
@@ -148,6 +173,7 @@ class ConstraintSystem:
             selectors_d1=selectors,
             coefficients_d1=coefficients,
             feature_flags=features,
+            lookup_cs=lookup_cs,
         )
 
     # -- zk / vanishing helpers (permutation.rs:66-131) -------------------

@@ -237,15 +237,14 @@ def eval_host(expr: Expr, ctx: HostEvalContext, memo: dict | None = None) -> int
     elif isinstance(expr, Pow):
         v = pow(eval_host(expr.a, ctx, memo), expr.e, p)
     elif isinstance(expr, VanishesOnZeroKnowledgeAndPreviousRows):
-        # (x^n - 1) / Π_{i = n - (zk_rows + 1)}^{n-1} (x - w^i)
+        # Π_{i = n - (zk_rows + 1)}^{n-1} (x - w^i)
+        # (vanishes_on_last_n_rows(d1, zk_rows + 1), permutation.rs:83)
         x = ctx.point
-        num = (pow(x, ctx.domain_n, p) - 1) % p
-        den = 1
+        v = 1
         w_i = pow(ctx.omega, ctx.domain_n - (ctx.zk_rows + 1), p)
         for _ in range(ctx.zk_rows + 1):
-            den = den * (x - w_i) % p
+            v = v * (x - w_i) % p
             w_i = w_i * ctx.omega % p
-        v = num * pow(den, -1, p) % p
     elif isinstance(expr, UnnormalizedLagrangeBasis):
         x = ctx.point
         i = expr.offset + (ctx.domain_n - ctx.zk_rows if expr.zk_anchored else 0)
@@ -277,6 +276,8 @@ class DeviceEvalContext:
     omega: int
     # d8 evaluations of special polynomials, precomputed by the caller:
     vanishes_on_zk_and_previous: Any = None
+    # row index -> (16, 8n) evals of (x^n - 1)/(x - w^row)
+    unnormalized_lagrange: dict | None = None
 
     def shifted(self, arr):
         """Row+1 on d8 = rotate by 8 evaluation positions."""
@@ -325,7 +326,10 @@ def eval_dev(expr: Expr, ctx: DeviceEvalContext, memo: dict | None = None):
         assert ctx.vanishes_on_zk_and_previous is not None
         v = ctx.vanishes_on_zk_and_previous
     elif isinstance(expr, UnnormalizedLagrangeBasis):
-        raise NotImplementedError("device UnnormalizedLagrangeBasis: precompute in columns")
+        i = expr.offset + (ctx.domain_n - ctx.zk_rows if expr.zk_anchored else 0)
+        i %= ctx.domain_n
+        assert ctx.unnormalized_lagrange is not None and i in ctx.unnormalized_lagrange
+        v = ctx.unnormalized_lagrange[i]
     else:
         raise TypeError(f"unknown expr node {type(expr)}")
     memo[key] = v

@@ -168,6 +168,8 @@ def _store(ref, base: int, limbs: list) -> None:
 
 
 def _pad_to_block(x: jax.Array) -> tuple[jax.Array, int]:
+    """(16, *batch) -> (16, M, 128) with batch dims flattened and padded."""
+    x = x.reshape(NLIMBS, -1)
     n = x.shape[-1]
     per = BLOCK_ROWS * LANE
     m = -(-n // per) * per
@@ -222,7 +224,8 @@ def mont_mul(F: DeviceField, a: jax.Array, b: jax.Array) -> jax.Array:
     def kernel(a_ref, b_ref, o_ref):
         _store(o_ref, 0, _k_mul_redc(F, _rows(a_ref, 0), _rows(b_ref, 0)))
 
-    return _unpad(_call_elementwise(kernel, 2, 1, ap, bp), n)
+    out = _unpad(_call_elementwise(kernel, 2, 1, ap, bp), n)
+    return out.reshape(a.shape)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -230,8 +233,8 @@ def jacobian_add(F: DeviceField, px, py, pz, qx, qy, qz):
     """Complete Jacobian addition fused into one kernel (add-2007-bl with
     doubling/inf fallbacks, as ops/curve_ops.DeviceCurve.add)."""
     args = jnp.broadcast_arrays(px, py, pz, qx, qy, qz)
+    shape = args[0].shape
     padded = []
-    n = args[0].shape[-1]
     for x in args:
         xp, n = _pad_to_block(x)
         padded.append(xp)
@@ -304,13 +307,17 @@ def jacobian_add(F: DeviceField, px, py, pz, qx, qy, qz):
         _store(oz_r, 0, z)
 
     ox, oy, oz = _call_elementwise(kernel, 6, 3, *padded)
-    return _unpad(ox, n), _unpad(oy, n), _unpad(oz, n)
+    return (
+        _unpad(ox, n).reshape(shape),
+        _unpad(oy, n).reshape(shape),
+        _unpad(oz, n).reshape(shape),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def jacobian_double(F: DeviceField, px, py, pz):
     padded = []
-    n = px.shape[-1]
+    shape = px.shape
     for x in (px, py, pz):
         xp, n = _pad_to_block(x)
         padded.append(xp)
@@ -340,4 +347,8 @@ def jacobian_double(F: DeviceField, px, py, pz):
         _store(oz_r, 0, dz)
 
     ox, oy, oz = _call_elementwise(kernel, 3, 3, *padded)
-    return _unpad(ox, n), _unpad(oy, n), _unpad(oz, n)
+    return (
+        _unpad(ox, n).reshape(shape),
+        _unpad(oy, n).reshape(shape),
+        _unpad(oz, n).reshape(shape),
+    )

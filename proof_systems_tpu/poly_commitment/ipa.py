@@ -138,6 +138,7 @@ def open_proof(
     evalscale: int,
     sponge: FqSponge,
     rng,
+    debug: dict | None = None,
 ) -> OpeningProof:
     """IPA opening (ipa.rs:687). plnms as in combine_polys_dev; elm are the
     evaluation points (ζ, ζω); sponge is the running Fq transcript."""
@@ -163,6 +164,8 @@ def open_proof(
         b_arr = term if b_arr is None else limb.add(F, b_arr, term)
         scale = scale * evalscale % f.p
     cip = F.unpack_mont(ntt.dot_mod(F, a, b_arr))[0]
+    if debug is not None:
+        debug["cip"] = cip
 
     sponge.absorb_fr([shift_scalar(curve, cip)])
     t = sponge.challenge_fq()

@@ -78,7 +78,7 @@ class SRS:
         """Deterministic SRS, byte-identical to ipa.rs create_parallel."""
         path = _srs_cache_path(curve, depth)
         if path.exists():
-            arr = np.load(path)
+            arr = np.load(path, allow_pickle=True)
             g = [(int(x), int(y)) for x, y in arr]
         else:
             g = [derive_g(curve, i) for i in range(depth)]

@@ -87,6 +87,43 @@ class ProofEvaluations:
                 pts.append(opt)
         return pts
 
+    def ordered_for_commitment_list(self) -> list[PointEvaluations]:
+        """The verifier's es / opening-commitment order (verifier.rs:502-560,
+        985-1050): like the Fr-sponge order for the non-lookup prefix, but
+        lookup columns come as sorted.., aggreg, table, runtime, selectors."""
+        pts = [
+            self.z,
+            self.generic_selector,
+            self.poseidon_selector,
+            self.complete_add_selector,
+            self.mul_selector,
+            self.emul_selector,
+            self.endomul_scalar_selector,
+        ]
+        pts += self.w
+        pts += self.coefficients
+        pts += self.s
+        for opt in [
+            self.range_check0_selector,
+            self.range_check1_selector,
+            self.foreign_field_add_selector,
+            self.foreign_field_mul_selector,
+            self.xor_selector,
+            self.rot_selector,
+            *self.lookup_sorted,
+            self.lookup_aggregation,
+            self.lookup_table,
+            self.runtime_lookup_table,
+            self.runtime_lookup_table_selector,
+            self.xor_lookup_selector,
+            self.lookup_gate_lookup_selector,
+            self.range_check_lookup_selector,
+            self.foreign_field_mul_lookup_selector,
+        ]:
+            if opt is not None:
+                pts.append(opt)
+        return pts
+
     def combine(self, zeta_pow_n: int, zeta_omega_pow_n: int, p: int) -> "ProofEvaluations":
         """Collapse chunked evaluations with powers of ζ^max_poly_size
         (proof.rs combine)."""

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 
 from .circuits import expr as expr_mod
+from .circuits import lookup as lookup_mod
 from .circuits.gate import COLUMNS, PERMUTS, GateType
 from .ops import limb, ntt, poly
 from .ops.limb import NLIMBS
@@ -49,6 +50,7 @@ def create_proof(
     witness: list[list[int]],
     rng,
     prev_challenges=(),
+    debug: dict | None = None,
 ) -> ProverProof:
     cs = index.cs
     f = cs.f
@@ -97,9 +99,62 @@ def create_proof(
     for c in w_comms:
         fq_sponge.absorb_g(c.chunks)
 
+    # -- 4b. lookup: joint combiner, sorted polynomials --------------------
+    lcs = cs.lookup_cs
+    lookup_ctx = {}
+    if lcs is not None:
+        # (runtime tables not wired yet)
+        jc_pre = fq_sponge.challenge().value if lcs.info.joint_lookup_used else 0
+        from .poseidon.sponge import ScalarChallenge
+
+        joint = ScalarChallenge(jc_pre).to_field(endo_r, f)
+        tid_comb = (
+            pow(joint, lcs.info.max_joint_size, p) if lcs.table_ids is not None else 0
+        )
+        dummy_value = lcs.dummy_entry.evaluate(p, joint, tid_comb, lambda pos: 0)
+        table_d1 = lookup_mod.combined_table_d1(lcs, f, joint, tid_comb)
+        sorted_cols = lookup_mod.sorted_multiset(
+            lcs, f, cs.gates, witness, joint, tid_comb, table_d1, zk
+        )
+        sorted_cols = [lookup_mod.zk_patch(f, c, n, zk, rng) for c in sorted_cols]
+        nsorted = len(sorted_cols)
+        sorted_dev = F.pack_mont(
+            [v for col in sorted_cols for v in col], shape=(nsorted, n)
+        )
+        sorted_coeffs = d1.intt(sorted_dev)
+        sorted_comms_nh = index.srs.commit_coeffs_dev(sorted_coeffs, 1)
+        sorted_blinders = [[rng.field(p)] for _ in range(nsorted)]
+        sorted_comms = [
+            index.srs.mask(c, b) for c, b in zip(sorted_comms_nh, sorted_blinders)
+        ]
+        for c in sorted_comms:
+            fq_sponge.absorb_g(c.chunks)
+        lookup_ctx.update(
+            joint=joint, tid_comb=tid_comb, dummy=dummy_value, table_d1=table_d1,
+            sorted_cols=sorted_cols, sorted_coeffs=sorted_coeffs,
+            sorted_comms=sorted_comms, sorted_blinders=sorted_blinders,
+        )
+
     # -- 5. beta, gamma (raw 128-bit challenges) ---------------------------
     beta = fq_sponge.challenge().value
     gamma = fq_sponge.challenge().value
+
+    # -- 5b. lookup aggregation --------------------------------------------
+    if lcs is not None:
+        aggreg = lookup_mod.aggregation(
+            lcs, f, cs.gates, witness, lookup_ctx["joint"], lookup_ctx["tid_comb"],
+            beta, gamma, lookup_ctx["sorted_cols"], lookup_ctx["table_d1"], zk, rng,
+        )
+        aggreg_dev = F.pack_mont(aggreg, shape=(1, n))
+        aggreg_coeffs = d1.intt(aggreg_dev)
+        aggreg_comm_nh = index.srs.commit_coeffs_dev(aggreg_coeffs, 1)[0]
+        aggreg_blinder = [rng.field(p)]
+        aggreg_comm = index.srs.mask(aggreg_comm_nh, aggreg_blinder)
+        fq_sponge.absorb_g(aggreg_comm.chunks)
+        lookup_ctx.update(
+            aggreg_coeffs=aggreg_coeffs[:, 0], aggreg_comm=aggreg_comm,
+            aggreg_blinder=aggreg_blinder,
+        )
 
     # -- 6. permutation aggregation z --------------------------------------
     sigma_d1_dev = F.pack_mont(
@@ -166,6 +221,34 @@ def create_proof(
     columns[expr_mod.COL_Z] = z8
     for g in ALWAYS_ON:
         columns[expr_mod.col_index(g)] = cd.selector8[g]
+    joint_val = 0
+    if lcs is not None:
+        joint_val = lookup_ctx["joint"]
+        ld = index.lookup_data
+        # combined joint table: Σ j^i col_i (+ tid·ids), coeff + d8 forms
+        jt_coeff = None
+        jt8 = None
+        jpow = 1
+        for i in range(ld["table_coeff"].shape[1]):
+            sc = F.pack_mont([jpow], shape=(1,))
+            term_c = limb.mont_mul(F, ld["table_coeff"][:, i], sc)
+            term_8 = limb.mont_mul(F, ld["table8"][:, i], sc)
+            jt_coeff = term_c if jt_coeff is None else limb.add(F, jt_coeff, term_c)
+            jt8 = term_8 if jt8 is None else limb.add(F, jt8, term_8)
+            jpow = jpow * joint_val % p
+        if ld["ids_coeff"] is not None:
+            sc = F.pack_mont([lookup_ctx["tid_comb"]], shape=(1,))
+            jt_coeff = limb.add(F, jt_coeff, limb.mont_mul(F, ld["ids_coeff"], sc))
+            jt8 = limb.add(F, jt8, limb.mont_mul(F, ld["ids8"], sc))
+        lookup_ctx["jt_coeff"] = jt_coeff
+        sorted8 = to_d8(lookup_ctx["sorted_coeffs"])
+        aggreg8 = to_d8(lookup_ctx["aggreg_coeffs"][:, None, :])[:, 0]
+        for i in range(sorted8.shape[1]):
+            columns[lookup_mod.col_lookup_sorted(i)] = sorted8[:, i]
+        columns[lookup_mod.COL_LOOKUP_AGGREG] = aggreg8
+        columns[lookup_mod.COL_LOOKUP_TABLE] = jt8
+        for pat in lcs.info.patterns:
+            columns[lookup_mod.col_lookup_kind(pat)] = ld["sel8"][pat]
 
     from .poseidon import fp_kimchi as _pk, fq_kimchi as _qk
 
@@ -173,7 +256,8 @@ def create_proof(
     ctx = expr_mod.DeviceEvalContext(
         F=F,
         columns=columns,
-        challenges={"alpha": alpha, "beta": beta, "gamma": gamma, "joint_combiner": 0},
+        challenges={"alpha": alpha, "beta": beta, "gamma": gamma,
+                    "joint_combiner": joint_val},
         endo=cs.endo,
         mds=[list(r) for r in mds_params.mds],
         domain_n=n,
@@ -181,7 +265,28 @@ def create_proof(
         omega=d1.group_gen,
         vanishes_on_zk_and_previous=cd.vanishes_zk_prev8,
     )
+    if lcs is not None:
+        # unnormalized Lagrange basis evals on d8 for the boundary rows
+        from .ops import ntt as ntt_mod
+
+        def unnorm_lagrange(row_idx: int):
+            num = limb.sub(
+                F,
+                limb.mont_pow(F, cd.x_d8, n),
+                F.one_mont((1,)),
+            )
+            den = limb.sub(F, cd.x_d8, F.const_mont(cs.sid[row_idx], (1,)))
+            return limb.mont_mul(F, num, limb.batch_inverse(F, den))
+
+        ctx.unnormalized_lagrange = {
+            0: unnorm_lagrange(0),
+            n - zk - 1: unnorm_lagrange(n - zk - 1),
+        }
     gate_evals8 = expr_mod.eval_dev(index.linearization_expr, ctx)  # (16, 8n)
+    if debug is not None:
+        debug["ctx_columns"] = columns
+        debug["gate_evals8"] = gate_evals8
+        debug["ctx_obj"] = ctx
 
     # permutation contribution (perm_quot)
     a0, a1, a2 = index.alphas.get_alphas("permutation", 3)
@@ -214,6 +319,12 @@ def create_proof(
     # add public polynomial (coefficients, low block)
     f_coeffs = f_coeffs.at[:, :n].set(limb.add(F, f_coeffs[:, :n], public_coeffs[:, 0]))
     quotient, _rem = poly.divide_by_vanishing(F, f_coeffs, n)  # (16, 7n)
+    if debug is not None:
+        import numpy as _np
+
+        debug["quotient_rem_zero"] = bool(
+            _np.all(_np.asarray(limb.is_zero(F, _rem)))
+        )
 
     # bnd terms: (z-1)/(x-1)*α1 + (z-1)/(x-ω^{n-zk})*α2
     z_minus_1 = z_coeffs.at[:, 0].set(
@@ -257,6 +368,15 @@ def create_proof(
         ],
         axis=1,
     )  # (16, 44, n)
+    if lcs is not None:
+        ld = index.lookup_data
+        lk_stack = [lookup_ctx["sorted_coeffs"][:, i] for i in range(len(lookup_ctx["sorted_cols"]))]
+        lk_stack.append(lookup_ctx["aggreg_coeffs"])
+        lk_stack.append(lookup_ctx["jt_coeff"])
+        lk_pats = list(lcs.info.patterns)
+        lk_stack += [ld["sel_coeff"][pat] for pat in lk_pats]
+        stack = jnp.concatenate([stack, jnp.stack(lk_stack, axis=1)], axis=1)
+
     ev_z = poly.eval_at(F, stack, pow_z)
     ev_zw = poly.eval_at(F, stack, pow_zw)
 
@@ -276,6 +396,19 @@ def create_proof(
         emul_selector=pe(42),
         endomul_scalar_selector=pe(43),
     )
+    if lcs is not None:
+        ns = len(lookup_ctx["sorted_cols"])
+        evals.lookup_sorted = [pe(44 + i) for i in range(ns)] + [None] * (5 - ns)
+        evals.lookup_aggregation = pe(44 + ns)
+        evals.lookup_table = pe(45 + ns)
+        base = 46 + ns
+        from .circuits.lookup import LookupPattern
+
+        sel_evals = {pat: pe(base + i) for i, pat in enumerate(lk_pats)}
+        evals.xor_lookup_selector = sel_evals.get(LookupPattern.Xor)
+        evals.lookup_gate_lookup_selector = sel_evals.get(LookupPattern.Lookup)
+        evals.range_check_lookup_selector = sel_evals.get(LookupPattern.RangeCheck)
+        evals.foreign_field_mul_lookup_selector = sel_evals.get(LookupPattern.ForeignFieldMul)
 
     # -- 11. ft polynomial (Maller) ---------------------------------------
     zeta_n = pow(zeta, n, p)  # = zeta_to_srs_len = zeta_to_domain_size here
@@ -337,6 +470,9 @@ def create_proof(
 
     v = fr_sponge.challenge().to_field(endo_r, f)
     u = fr_sponge.challenge().to_field(endo_r, f)
+    if debug is not None:
+        debug.update(beta=beta, gamma=gamma, alpha=alpha, zeta=zeta, v=v, u=u,
+                     joint=lookup_ctx.get("joint"), ft_eval1=ft_eval1)
 
     # -- 13. assemble opening ----------------------------------------------
     plnms = []
@@ -356,6 +492,23 @@ def create_proof(
         plnms.append((cd.coefficients_coeff[:, i], [0]))
     for i in range(PERMUTS - 1):
         plnms.append((cd.sigma_coeff[:, i], [0]))
+    if lcs is not None:
+        ld = index.lookup_data
+        for i in range(len(lookup_ctx["sorted_cols"])):
+            plnms.append((lookup_ctx["sorted_coeffs"][:, i], lookup_ctx["sorted_blinders"][i]))
+        plnms.append((lookup_ctx["aggreg_coeffs"], lookup_ctx["aggreg_blinder"]))
+        # joint table blinding: Σ_{i<width} j^i + tid_comb (each column is
+        # fixed-hiding in the verifier index; prover.rs:1346-1384)
+        width = ld["table_coeff"].shape[1]
+        fb = 0
+        if width:
+            fb = 1  # (1..width).fold(1, |acc,_| 1 + j*acc) = Σ_{i<width} j^i
+            for _ in range(1, width):
+                fb = (1 + lookup_ctx["joint"] * fb) % p
+        base_blinding = (fb + lookup_ctx["tid_comb"]) % p
+        plnms.append((lookup_ctx["jt_coeff"], [base_blinding]))
+        for pat in list(lcs.info.patterns):
+            plnms.append((ld["sel_coeff"][pat], [0]))
 
     opening = open_proof(
         index.srs,
@@ -365,11 +518,21 @@ def create_proof(
         u,
         fq_sponge_before_evaluations,
         rng,
+        debug=debug,
     )
 
+    lookup_comms = None
+    if lcs is not None:
+        from .proof import LookupCommitments
+
+        lookup_comms = LookupCommitments(
+            sorted=lookup_ctx["sorted_comms"],
+            aggreg=lookup_ctx["aggreg_comm"],
+            runtime=None,
+        )
     return ProverProof(
         commitments=ProverCommitments(
-            w_comm=w_comms, z_comm=z_comm, t_comm=t_comm
+            w_comm=w_comms, z_comm=z_comm, t_comm=t_comm, lookup=lookup_comms
         ),
         proof=opening,
         evals=evals,

@@ -15,6 +15,7 @@ from typing import Any
 import jax.numpy as jnp
 
 from .circuits import expr as expr_mod
+from .circuits import lookup as lookup_mod
 from .circuits.alphas import Alphas, default_alphas
 from .circuits.constraints import ConstraintSystem
 from .circuits.gate import COLUMNS, PERMUTS, GateType
@@ -68,9 +69,14 @@ class ProverIndex:
         other = Pallas if curve.name == "Vesta" else Vesta
         cs.endo = other.endos[0]
 
-        self.alphas: Alphas = default_alphas()
+        nlookup = 0
+        if cs.lookup_cs is not None:
+            self._lookup_constraints = lookup_mod.constraints(cs.lookup_cs, cs.f)
+            nlookup = len(self._lookup_constraints)
+        self.alphas: Alphas = default_alphas(nlookup)
         self.linearization_expr = self._build_linearization()
         self.column_data = self._build_columns()
+        self.lookup_data = self._build_lookup_columns()
         self._verifier_index: VerifierIndex | None = None
 
     # -- linearization (constant term only; index_terms empty in berkeley) --
@@ -81,6 +87,9 @@ class ProverIndex:
         for g in ALWAYS_ON:
             term = gate_constraints.combined(g, f, self.alphas)
             total = term if total is None else total + term
+        if self.cs.lookup_cs is not None:
+            exps = self.alphas.get_exponents("lookup", len(self._lookup_constraints))
+            total = total + expr_mod.combine_constraints(exps, self._lookup_constraints)
         return total
 
     # -- column device data ------------------------------------------------
@@ -137,6 +146,37 @@ class ProverIndex:
             x_d8=x_d8,
         )
 
+    def _build_lookup_columns(self):
+        lcs = self.cs.lookup_cs
+        if lcs is None:
+            return None
+        F = limb.device_field(self.cs.f)
+        d1, d8 = self.cs.domain.d1, self.cs.domain.d8
+        n = d1.n
+        cols: list[list[int]] = list(lcs.lookup_table)
+        if lcs.table_ids is not None:
+            cols = cols + [lcs.table_ids]
+        sel_pats = list(lcs.info.patterns)
+        cols = cols + [lcs.selectors_d1[pat] for pat in sel_pats]
+        arr = F.pack_mont([v for col in cols for v in col], shape=(len(cols), n))
+        coeffs = d1.intt(arr)
+        padded = jnp.concatenate(
+            [coeffs, jnp.zeros((limb.NLIMBS, len(cols), 7 * n), dtype=coeffs.dtype)],
+            axis=-1,
+        )
+        evals8 = d8.ntt(padded)
+        w = len(lcs.lookup_table)
+        has_ids = lcs.table_ids is not None
+        off = w + (1 if has_ids else 0)
+        return {
+            "table_coeff": coeffs[:, :w],
+            "table8": evals8[:, :w],
+            "ids_coeff": coeffs[:, w] if has_ids else None,
+            "ids8": evals8[:, w] if has_ids else None,
+            "sel_coeff": {pat: coeffs[:, off + i] for i, pat in enumerate(sel_pats)},
+            "sel8": {pat: evals8[:, off + i] for i, pat in enumerate(sel_pats)},
+        }
+
     # -- verifier index ----------------------------------------------------
 
     def verifier_index(self) -> VerifierIndex:
@@ -155,6 +195,38 @@ class ProverIndex:
             ones = [1] * self.num_chunks
             for i in range(22, 28):
                 comms[i] = self.srs.mask(comms[i], ones)
+            lookup_vk = None
+            if self.cs.lookup_cs is not None:
+                ld = self.lookup_data
+                lcs = self.cs.lookup_cs
+                ncols = ld["table_coeff"].shape[1]
+                stack = [ld["table_coeff"][:, i] for i in range(ncols)]
+                if ld["ids_coeff"] is not None:
+                    stack.append(ld["ids_coeff"])
+                sel_pats = list(lcs.info.patterns)
+                stack += [ld["sel_coeff"][pat] for pat in sel_pats]
+                lcomms = self.srs.commit_coeffs_dev(
+                    jnp.stack(stack, axis=1), self.num_chunks
+                )
+                table_comms = [
+                    self.srs.mask(lcomms[i], ones) for i in range(ncols)
+                ]
+                idx = ncols
+                ids_comm = None
+                if ld["ids_coeff"] is not None:
+                    ids_comm = self.srs.mask(lcomms[idx], ones)
+                    idx += 1
+                sel_comms = {pat: lcomms[idx + i] for i, pat in enumerate(sel_pats)}
+                from .verifier_index import LookupVerifierIndex
+
+                lookup_vk = LookupVerifierIndex(
+                    joint_lookup_used=lcs.info.joint_lookup_used,
+                    lookup_info=lcs.info,
+                    lookup_table=table_comms,
+                    table_ids=ids_comm,
+                    lookup_selectors=sel_comms,
+                    runtime_tables_selector=None,
+                )
             self._verifier_index = VerifierIndex(
                 curve=self.curve,
                 domain=self.cs.domain.d1,
@@ -176,5 +248,6 @@ class ProverIndex:
                 linearization_expr=self.linearization_expr,
                 alphas=self.alphas,
                 zk_w=self.cs.zk_w(),
+                lookup_index=lookup_vk,
             )
         return self._verifier_index

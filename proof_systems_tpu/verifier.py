@@ -34,6 +34,7 @@ from .verifier_index import VerifierIndex, sponge_for
 @dataclass
 class Oracles:
     fq_sponge: object
+    joint_combiner: int
     beta: int
     gamma: int
     alpha: int
@@ -65,8 +66,22 @@ def oracles(
     for c in proof.commitments.w_comm:
         fq_sponge.absorb_g(c.chunks)
 
+    joint_combiner = 0
+    if vk.lookup_index is not None:
+        li = vk.lookup_index
+        if li.runtime_tables_selector is not None:
+            fq_sponge.absorb_g(proof.commitments.lookup.runtime.chunks)
+        from .poseidon.sponge import ScalarChallenge
+
+        jc_pre = fq_sponge.challenge().value if li.joint_lookup_used else 0
+        joint_combiner = ScalarChallenge(jc_pre).to_field(endo_r, f)
+        for c in proof.commitments.lookup.sorted:
+            fq_sponge.absorb_g(c.chunks)
+
     beta = fq_sponge.challenge().value
     gamma = fq_sponge.challenge().value
+    if vk.lookup_index is not None:
+        fq_sponge.absorb_g(proof.commitments.lookup.aggreg.chunks)
     fq_sponge.absorb_g(proof.commitments.z_comm.chunks)
     alpha = fq_sponge.challenge().to_field(endo_r, f)
     assert len(proof.commitments.t_comm.chunks) <= 7, "t commitment too long"
@@ -166,6 +181,21 @@ def oracles(
             pt = evals.coefficients[col[1]]
         elif col == expr_mod.COL_Z:
             pt = evals.z
+        elif col == ("lookup_aggreg",):
+            pt = evals.lookup_aggregation
+        elif col == ("lookup_table",):
+            pt = evals.lookup_table
+        elif col[0] == "lookup_sorted":
+            pt = evals.lookup_sorted[col[1]]
+        elif col[0] == "lookup_kind":
+            from .circuits.lookup import LookupPattern
+
+            pt = {
+                "xor": evals.xor_lookup_selector,
+                "lookup": evals.lookup_gate_lookup_selector,
+                "range_check": evals.range_check_lookup_selector,
+                "ffmul": evals.foreign_field_mul_lookup_selector,
+            }[col[1]]
         elif col[0] == "index":
             g = GateType(col[1])
             pt = {
@@ -183,7 +213,8 @@ def oracles(
     ctx = expr_mod.HostEvalContext(
         f=f,
         get_cell=get_cell,
-        challenges={"alpha": alpha, "beta": beta, "gamma": gamma, "joint_combiner": 0},
+        challenges={"alpha": alpha, "beta": beta, "gamma": gamma,
+                    "joint_combiner": joint_combiner},
         endo=vk.endo,
         mds=[list(r) for r in mds_params.mds],
         point=zeta,
@@ -203,14 +234,14 @@ def oracles(
         es.append([[b_poly(f, rc.chals, zeta)], [b_poly(f, rc.chals, zetaw)]])
     es.append(list(public_evals))
     es.append([[ft_eval0], [proof.ft_eval1]])
-    ordered = proof.evals.ordered_for_fr_sponge()
-    for pt in ordered:
+    for pt in proof.evals.ordered_for_commitment_list():
         es.append([pt.zeta, pt.zeta_omega])
 
     cip = combined_inner_product(f, v, u, es)
 
     return Oracles(
         fq_sponge=fq_sponge,
+        joint_combiner=joint_combiner,
         beta=beta,
         gamma=gamma,
         alpha=alpha,
@@ -305,6 +336,36 @@ def to_batch(vk: VerifierIndex, proof: ProverProof, public_input: list[int]) -> 
     cols += [(proof.commitments.w_comm[i], proof.evals.w[i]) for i in range(COLUMNS)]
     cols += [(vk.coefficients_comm[i], proof.evals.coefficients[i]) for i in range(COLUMNS)]
     cols += [(vk.sigma_comm[i], proof.evals.s[i]) for i in range(PERMUTS - 1)]
+    if vk.lookup_index is not None:
+        li = vk.lookup_index
+        lk = proof.commitments.lookup
+        for i, c in enumerate(lk.sorted):
+            cols.append((c, proof.evals.lookup_sorted[i]))
+        cols.append((lk.aggreg, proof.evals.lookup_aggregation))
+        # combined table commitment: Σ j^i col_i + tid_comb · ids
+        joint = o.joint_combiner
+        tid_comb = (
+            pow(joint, li.lookup_info.max_joint_size, p) if li.table_ids is not None else 0
+        )
+        comb = None
+        jpow = 1
+        for c in li.lookup_table:
+            term = poly_comm_scale(curve, c, jpow)
+            comb = term if comb is None else poly_comm_add(curve, comb, term)
+            jpow = jpow * joint % p
+        if li.table_ids is not None:
+            comb = poly_comm_add(curve, comb, poly_comm_scale(curve, li.table_ids, tid_comb))
+        cols.append((comb, proof.evals.lookup_table))
+        from .circuits.lookup import LookupPattern
+
+        for pat, ev in [
+            (LookupPattern.Xor, proof.evals.xor_lookup_selector),
+            (LookupPattern.Lookup, proof.evals.lookup_gate_lookup_selector),
+            (LookupPattern.RangeCheck, proof.evals.range_check_lookup_selector),
+            (LookupPattern.ForeignFieldMul, proof.evals.foreign_field_mul_lookup_selector),
+        ]:
+            if pat in li.lookup_selectors:
+                cols.append((li.lookup_selectors[pat], ev))
     for commv, pt in cols:
         evaluations.append(Evaluation(commv, [pt.zeta, pt.zeta_omega]))
 

@@ -19,6 +19,19 @@ def sponge_for(curve: CurveParams) -> FqSponge:
 
 
 @dataclass
+class LookupVerifierIndex:
+    """verifier_index.rs LookupVerifierIndex: per-column table commitments,
+    optional table-id commitment, per-pattern selector commitments."""
+
+    joint_lookup_used: bool
+    lookup_info: Any
+    lookup_table: list[PolyComm]
+    table_ids: Optional[PolyComm]
+    lookup_selectors: dict  # LookupPattern -> PolyComm
+    runtime_tables_selector: Optional[PolyComm] = None
+
+
+@dataclass
 class VerifierIndex:
     curve: CurveParams
     domain: Any  # NttPlan (d1)
@@ -75,4 +88,22 @@ class VerifierIndex:
         ]:
             if c is not None:
                 absorb(c)
+        if self.lookup_index is not None:
+            li = self.lookup_index
+            for c in li.lookup_table:
+                absorb(c)
+            if li.table_ids is not None:
+                absorb(li.table_ids)
+            if li.runtime_tables_selector is not None:
+                absorb(li.runtime_tables_selector)
+            from .circuits.lookup import LookupPattern
+
+            for pat in [
+                LookupPattern.Xor,
+                LookupPattern.Lookup,
+                LookupPattern.RangeCheck,
+                LookupPattern.ForeignFieldMul,
+            ]:
+                if pat in li.lookup_selectors:
+                    absorb(li.lookup_selectors[pat])
         return sponge.digest_fq()

@@ -1,0 +1,138 @@
+"""Gate-level witness generation + constraint satisfaction + prove/verify.
+
+The per-gate analogue of the reference TestFramework tests
+(kimchi/src/tests/*.rs) with the host checker as fast first line."""
+
+import random
+
+import pytest
+
+from proof_systems_tpu.circuits import expr as expr_mod
+from proof_systems_tpu.circuits.builders import GenericGateSpec, create_generic_gadget
+from proof_systems_tpu.circuits.checker import check_witness
+from proof_systems_tpu.circuits.constraints import ConstraintSystem
+from proof_systems_tpu.circuits.gate import COLUMNS, CircuitGate, GateType, new_wires
+from proof_systems_tpu.circuits.polynomials import witness_gen as wg
+from proof_systems_tpu.curves import Pallas, Vesta
+from proof_systems_tpu.fields import Fp
+from proof_systems_tpu.poseidon import fp_kimchi
+from proof_systems_tpu.poseidon.permutation import poseidon_block_cipher
+
+
+MDS = [list(r) for r in fp_kimchi.mds]
+
+
+def build_cs(gates, public=0):
+    cs = ConstraintSystem.create(Fp, gates, public=public, max_poly_size=64)
+    from proof_systems_tpu.curves import Pallas
+
+    cs.endo = Pallas.endos[0]
+    return cs
+
+
+def pad_witness(witness, n):
+    for col in witness:
+        col.extend([0] * (n - len(col)))
+    return witness
+
+
+def test_poseidon_gadget_witness():
+    f = Fp
+    gates, _next = wg.create_poseidon_gadget(f, 0, fp_kimchi)
+    cs = build_cs(gates)
+    n = cs.domain.d1.n
+    witness = wg.new_witness(n)
+    state = [1, 2, 3]
+    out = wg.poseidon_witness(f, fp_kimchi, witness, 0, state)
+    # matches the plain permutation
+    ref = [1, 2, 3]
+    poseidon_block_cipher(fp_kimchi, ref)
+    assert out == ref
+    check_witness(cs, witness, MDS)
+
+
+def test_complete_add_witness():
+    rng = random.Random(1)
+    curve = Pallas  # circuit over Fp verifies Pallas point ops
+    gates = [CircuitGate(GateType.CompleteAdd, new_wires(0), [])]
+    cs = build_cs(gates)
+    n = cs.domain.d1.n
+    g = curve.generator
+    p1 = curve.scalar_mul(rng.randrange(1, curve.scalar.p), g)
+    p2 = curve.scalar_mul(rng.randrange(1, curve.scalar.p), g)
+    witness = wg.new_witness(n)
+    wg.complete_add_witness_row(curve, witness, 0, p1, p2)
+    check_witness(cs, witness, MDS)
+    # verify the result is actually p1+p2
+    want = curve.add(p1, p2)
+    assert (witness[4][0], witness[5][0]) == want
+
+    # doubling case
+    witness2 = wg.new_witness(n)
+    wg.complete_add_witness_row(curve, witness2, 0, p1, p1)
+    check_witness(cs, witness2, MDS)
+    assert (witness2[4][0], witness2[5][0]) == curve.double(p1)
+
+
+def test_varbasemul_witness():
+    rng = random.Random(2)
+    curve = Pallas
+    num_bits = 10
+    gates = wg.create_vbmul_gates(0, num_bits // 5)
+    cs = build_cs(gates)
+    n = cs.domain.d1.n
+    g = curve.generator
+    base = curve.scalar_mul(rng.randrange(1, curve.scalar.p), g)
+    acc0 = curve.scalar_mul(rng.randrange(1, curve.scalar.p), g)
+    bits = [rng.randrange(2) for _ in range(num_bits)]
+    witness = wg.new_witness(n)
+    acc, n_out = wg.varbasemul_witness(curve, witness, 0, base, bits, acc0)
+    check_witness(cs, witness, MDS)
+    # acc should equal the shifted-scalar result: each bit step does
+    # acc <- 2*acc + (2b-1)*base  (Halo-style pre-scaled double-and-add)
+    want = acc0
+    for b in bits:
+        q = base if b else curve.neg(base)
+        want = curve.add(curve.add(want, q), want)
+    assert acc == want
+    k = 0
+    for b in bits:
+        k = 2 * k + b
+    assert n_out == k
+
+
+def test_endomul_witness():
+    rng = random.Random(3)
+    curve = Pallas
+    endo = curve.endos[0]
+    num_bits = 8
+    gates = wg.create_endomul_gates(0, num_bits // 4)
+    cs = build_cs(gates)
+    n = cs.domain.d1.n
+    g = curve.generator
+    base = curve.scalar_mul(rng.randrange(1, curve.scalar.p), g)
+    acc0 = curve.double(curve.add(base, (endo * base[0] % curve.base.p, base[1])))
+    bits = [rng.randrange(2) for _ in range(num_bits)]
+    witness = wg.new_witness(n)
+    acc, n_out = wg.endomul_witness(curve, witness, 0, endo, base, bits, acc0)
+    check_witness(cs, witness, MDS)
+
+
+def test_endomul_scalar_witness():
+    rng = random.Random(4)
+    f = Fp
+    num_bits = 32
+    gates = wg.create_endomul_scalar_gates(0, num_bits // 16)
+    cs = build_cs(gates)
+    n = cs.domain.d1.n
+    scalar = rng.randrange(1 << num_bits)
+    witness = wg.new_witness(n)
+    a, b, n_out = wg.endomul_scalar_witness(f, witness, 0, scalar, num_bits)
+    check_witness(cs, witness, MDS)
+    assert n_out == scalar
+    # cross-check against ScalarChallenge::to_field semantics
+    from proof_systems_tpu.poseidon.sponge import ScalarChallenge
+
+    endo = Pallas.endos[0]
+    expect = ScalarChallenge(scalar).to_field_with_length(num_bits, endo, f)
+    assert (a * endo + b) % f.p == expect

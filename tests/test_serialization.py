@@ -1,0 +1,29 @@
+"""Proof wire-format roundtrip (kimchi/src/tests/serde.rs equivalent)."""
+
+from proof_systems_tpu.circuits.builders import bench_witness
+from proof_systems_tpu.curves import Vesta
+from proof_systems_tpu.prover import create_proof
+from proof_systems_tpu.serialization import deserialize_proof, serialize_proof
+from proof_systems_tpu.utils import TestRng
+
+from test_prove_verify import make_index
+
+
+def test_proof_roundtrip():
+    index = make_index(22, 32)
+    proof = create_proof(index, bench_witness(22), TestRng(5))
+    raw = serialize_proof(Vesta, proof)
+    back = deserialize_proof(Vesta, raw)
+    assert back == proof
+    # byte-stability
+    assert serialize_proof(Vesta, back) == raw
+
+
+def test_point_encoding_edge_cases():
+    from proof_systems_tpu.serialization import point_bytes, point_from_bytes
+
+    assert point_from_bytes(Vesta, point_bytes(Vesta, None)) is None
+    g = Vesta.generator
+    for k in (1, 2, 12345):
+        pt = Vesta.scalar_mul(k, g)
+        assert point_from_bytes(Vesta, point_bytes(Vesta, pt)) == pt
