@@ -12,7 +12,10 @@ from ..fields import FieldParams
 from . import expr as expr_mod
 from .constraints import ConstraintSystem
 from .gate import COLUMNS, GateType
-from .polynomials.gates import GATE_BUILDERS
+from .polynomials.gates import GATE_BUILDERS as _BASE_BUILDERS
+from .polynomials.optional_gates import OPTIONAL_GATE_BUILDERS
+
+GATE_BUILDERS = {**_BASE_BUILDERS, **OPTIONAL_GATE_BUILDERS}
 
 
 def check_witness(

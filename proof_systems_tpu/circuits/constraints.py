@@ -144,12 +144,24 @@ class ConstraintSystem:
             GateType.EndoMul,
             GateType.EndoMulScalar,
         ]
+        optional = [
+            GateType.RangeCheck0,
+            GateType.RangeCheck1,
+            GateType.ForeignFieldAdd,
+            GateType.ForeignFieldMul,
+            GateType.Xor16,
+            GateType.Rot64,
+        ]
         selectors = {g: [0] * n for g in always_on}
         features = set()
         for row, gate in enumerate(gates):
             if gate.typ in selectors:
                 selectors[gate.typ][row] = 1
-            elif gate.typ not in (GateType.Zero,):
+            elif gate.typ in optional:
+                features.add(gate.typ)
+                selectors.setdefault(gate.typ, [0] * n)
+                selectors[gate.typ][row] = 1
+            elif gate.typ not in (GateType.Zero, GateType.Lookup):
                 features.add(gate.typ)
 
         coefficients = [

@@ -37,6 +37,7 @@ from .proof import (
     ProverProof,
 )
 from .prover_index import ALWAYS_ON, ProverIndex
+from .utils.tracing import checkpoint
 from .verifier_index import sponge_for
 
 
@@ -64,6 +65,7 @@ def create_proof(
     zk = cs.zk_rows
     _, endo_r = curve.endos
 
+    checkpoint("create_recursive")
     # -- 1. pad witness + randomize zk rows --------------------------------
     witness = [list(col) for col in witness]
     length_witness = len(witness[0])
@@ -74,6 +76,7 @@ def create_proof(
             col[row] = rng.field(p)
     public = witness[0][: cs.public]
 
+    checkpoint("pad_witness")
     # -- 2. Fq transcript: vk digest, prev challenges ----------------------
     fq_sponge = sponge_for(curve)
     vk = index.verifier_index()
@@ -89,6 +92,7 @@ def create_proof(
     public_comm = index.srs.mask(public_comm_nh, [1])
     fq_sponge.absorb_g(public_comm.chunks)
 
+    checkpoint("set_up_fq_sponge")
     # -- 4. witness commitments (hiding) -----------------------------------
     flat_w = [v for col in witness for v in col]
     w_evals = F.pack_mont(flat_w, shape=(COLUMNS, n))  # (16, 15, n)
@@ -99,6 +103,7 @@ def create_proof(
     for c in w_comms:
         fq_sponge.absorb_g(c.chunks)
 
+    checkpoint("commit_to_witness_columns")
     # -- 4b. lookup: joint combiner, sorted polynomials --------------------
     lcs = cs.lookup_cs
     lookup_ctx = {}
@@ -156,6 +161,7 @@ def create_proof(
             aggreg_blinder=aggreg_blinder,
         )
 
+    checkpoint("use_lookup")
     # -- 6. permutation aggregation z --------------------------------------
     sigma_d1_dev = F.pack_mont(
         [v for col in cs.sigma_d1 for v in col], shape=(PERMUTS, n)
@@ -200,10 +206,12 @@ def create_proof(
     z_comm = index.srs.mask(z_comm_nh, z_blinder)
     fq_sponge.absorb_g(z_comm.chunks)
 
+    checkpoint("z_permutation_aggregation_polynomial")
     # -- 7. alpha ----------------------------------------------------------
     alpha = fq_sponge.challenge().to_field(endo_r, f)
     index.alphas.instantiate(alpha, p)
 
+    checkpoint("eval_witness_polynomials_over_domains")
     # -- 8. quotient -------------------------------------------------------
     def to_d8(coeffs):  # (16, b, n) -> evals on d8
         padded = jnp.concatenate(
@@ -220,6 +228,11 @@ def create_proof(
     columns.update({expr_mod.col_coeff(i): cd.coefficients8[:, i] for i in range(COLUMNS)})
     columns[expr_mod.COL_Z] = z8
     for g in ALWAYS_ON:
+        columns[expr_mod.col_index(g)] = cd.selector8[g]
+    from .circuits.polynomials import optional_gates as og
+
+    opt_present = [g for g in og.OPTIONAL_GATE_ORDER if g in cd.selector8]
+    for g in opt_present:
         columns[expr_mod.col_index(g)] = cd.selector8[g]
     joint_val = 0
     if lcs is not None:
@@ -282,6 +295,7 @@ def create_proof(
             0: unnorm_lagrange(0),
             n - zk - 1: unnorm_lagrange(n - zk - 1),
         }
+    checkpoint("compute_quotient_poly")
     gate_evals8 = expr_mod.eval_dev(index.linearization_expr, ctx)  # (16, 8n)
     if debug is not None:
         debug["ctx_columns"] = columns
@@ -342,11 +356,13 @@ def create_proof(
         limb.add(F, quotient[:, : n - 1], bnd)
     )
 
+    checkpoint("commit_quotient")
     t_comm_nh = index.srs.commit_coeffs_dev(quotient[:, None, :], 7)[0]
     t_blinders = [rng.field(p) for _ in range(7)]
     t_comm = index.srs.mask(t_comm_nh, t_blinders)
     fq_sponge.absorb_g(t_comm.chunks)
 
+    checkpoint("lagrange_basis_eval_zeta_poly")
     # -- 10. zeta + evaluations -------------------------------------------
     zeta = fq_sponge.challenge().to_field(endo_r, f)
     omega = d1.group_gen
@@ -368,9 +384,16 @@ def create_proof(
         ],
         axis=1,
     )  # (16, 44, n)
+    if opt_present:
+        stack = jnp.concatenate(
+            [stack, jnp.stack([cd.selector_coeff[g] for g in opt_present], axis=1)],
+            axis=1,
+        )
+    n_opt = len(opt_present)
     if lcs is not None:
         ld = index.lookup_data
         lk_stack = [lookup_ctx["sorted_coeffs"][:, i] for i in range(len(lookup_ctx["sorted_cols"]))]
+        # (lookup columns follow the optional selectors in the stack)
         lk_stack.append(lookup_ctx["aggreg_coeffs"])
         lk_stack.append(lookup_ctx["jt_coeff"])
         lk_pats = list(lcs.info.patterns)
@@ -396,12 +419,22 @@ def create_proof(
         emul_selector=pe(42),
         endomul_scalar_selector=pe(43),
     )
+    for gi, g in enumerate(opt_present):
+        attr = {
+            GateType.RangeCheck0: "range_check0_selector",
+            GateType.RangeCheck1: "range_check1_selector",
+            GateType.ForeignFieldAdd: "foreign_field_add_selector",
+            GateType.ForeignFieldMul: "foreign_field_mul_selector",
+            GateType.Xor16: "xor_selector",
+            GateType.Rot64: "rot_selector",
+        }[g]
+        setattr(evals, attr, pe(44 + gi))
     if lcs is not None:
         ns = len(lookup_ctx["sorted_cols"])
-        evals.lookup_sorted = [pe(44 + i) for i in range(ns)] + [None] * (5 - ns)
-        evals.lookup_aggregation = pe(44 + ns)
-        evals.lookup_table = pe(45 + ns)
-        base = 46 + ns
+        evals.lookup_sorted = [pe(44 + n_opt + i) for i in range(ns)] + [None] * (5 - ns)
+        evals.lookup_aggregation = pe(44 + n_opt + ns)
+        evals.lookup_table = pe(45 + n_opt + ns)
+        base = 46 + n_opt + ns
         from .circuits.lookup import LookupPattern
 
         sel_evals = {pat: pe(base + i) for i, pat in enumerate(lk_pats)}
@@ -410,6 +443,7 @@ def create_proof(
         evals.range_check_lookup_selector = sel_evals.get(LookupPattern.RangeCheck)
         evals.foreign_field_mul_lookup_selector = sel_evals.get(LookupPattern.ForeignFieldMul)
 
+    checkpoint("compute_ft_poly")
     # -- 11. ft polynomial (Maller) ---------------------------------------
     zeta_n = pow(zeta, n, p)  # = zeta_to_srs_len = zeta_to_domain_size here
     combined = evals.combine(zeta_n, pow(zeta_omega, n, p), p)
@@ -453,6 +487,7 @@ def create_proof(
 
     ft_eval1 = poly.eval_at(F, ft_coeffs[:, None, :], pow_zw)[0]
 
+    checkpoint("ft_eval_zeta_omega")
     # -- 12. Fr transcript -------------------------------------------------
     fq_sponge_before_evaluations = fq_sponge.clone()
     fr_sponge = fr_sponge_for(f)
@@ -474,6 +509,7 @@ def create_proof(
         debug.update(beta=beta, gamma=gamma, alpha=alpha, zeta=zeta, v=v, u=u,
                      joint=lookup_ctx.get("joint"), ft_eval1=ft_eval1)
 
+    checkpoint("build_polynomials")
     # -- 13. assemble opening ----------------------------------------------
     plnms = []
     for rc in prev_challenges:
@@ -492,6 +528,8 @@ def create_proof(
         plnms.append((cd.coefficients_coeff[:, i], [0]))
     for i in range(PERMUTS - 1):
         plnms.append((cd.sigma_coeff[:, i], [0]))
+    for g in opt_present:
+        plnms.append((cd.selector_coeff[g], [0]))
     if lcs is not None:
         ld = index.lookup_data
         for i in range(len(lookup_ctx["sorted_cols"])):
@@ -510,6 +548,7 @@ def create_proof(
         for pat in list(lcs.info.patterns):
             plnms.append((ld["sel_coeff"][pat], [0]))
 
+    checkpoint("create_aggregated_ipa")
     opening = open_proof(
         index.srs,
         plnms,
@@ -521,6 +560,7 @@ def create_proof(
         debug=debug,
     )
 
+    checkpoint("create_recursive_done")
     lookup_comms = None
     if lcs is not None:
         from .proof import LookupCommitments

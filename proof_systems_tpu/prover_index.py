@@ -20,6 +20,7 @@ from .circuits.alphas import Alphas, default_alphas
 from .circuits.constraints import ConstraintSystem
 from .circuits.gate import COLUMNS, PERMUTS, GateType
 from .circuits.polynomials import gates as gate_constraints
+from .circuits.polynomials import optional_gates
 from .curves import CurveParams
 from .ops import limb, poly
 from .ops.limb import NLIMBS
@@ -87,6 +88,14 @@ class ProverIndex:
         for g in ALWAYS_ON:
             term = gate_constraints.combined(g, f, self.alphas)
             total = term if total is None else total + term
+        for g in optional_gates.OPTIONAL_GATE_ORDER:
+            if g in self.cs.feature_flags:
+                constraints = optional_gates.OPTIONAL_GATE_BUILDERS[g](f)
+                exps = self.alphas.get_exponents("gate", len(constraints))
+                term = expr_mod.Cell(expr_mod.col_index(g), 0) * expr_mod.combine_constraints(
+                    exps, constraints
+                )
+                total = total + term
         if self.cs.lookup_cs is not None:
             exps = self.alphas.get_exponents("lookup", len(self._lookup_constraints))
             total = total + expr_mod.combine_constraints(exps, self._lookup_constraints)
@@ -104,8 +113,10 @@ class ProverIndex:
         host_cols: list[list[int]] = []
         host_cols += cs.sigma_d1  # 7
         host_cols += cs.coefficients_d1  # 15
-        sel_order = list(ALWAYS_ON)
-        host_cols += [cs.selectors_d1[g] for g in sel_order]  # 6
+        sel_order = list(ALWAYS_ON) + [
+            g for g in optional_gates.OPTIONAL_GATE_ORDER if g in cs.selectors_d1
+        ]
+        host_cols += [cs.selectors_d1[g] for g in sel_order]
 
         flat = [v for col in host_cols for v in col]
         arr = F.pack_mont(flat, shape=(len(host_cols), n))
@@ -134,6 +145,7 @@ class ProverIndex:
         ]
         vzp_roots = [pow(omega, n - (zk + 1) + i, f.p) for i in range(zk + 1)]
 
+        self.selector_order = sel_order
         return ColumnData(
             sigma_coeff=coeffs[:, :7],
             sigma8=evals8[:, :7],
@@ -190,7 +202,18 @@ class ProverIndex:
                 ],
                 axis=1,
             )  # (16, 28, n)
+            opt_present = [
+                g for g in optional_gates.OPTIONAL_GATE_ORDER
+                if g in self.cs.selectors_d1
+            ]
+            if opt_present:
+                opt_stack = jnp.stack(
+                    [cd.selector_coeff[g] for g in opt_present], axis=1
+                )
+                all_coeffs = jnp.concatenate([all_coeffs, opt_stack], axis=1)
             comms = self.srs.commit_coeffs_dev(all_coeffs, self.num_chunks)
+            opt_comms = {g: comms[28 + i] for i, g in enumerate(opt_present)}
+            comms = comms[:28]
             # selector commitments are fixed-hiding (+1·H), verifier_index.rs:173
             ones = [1] * self.num_chunks
             for i in range(22, 28):
@@ -249,5 +272,11 @@ class ProverIndex:
                 alphas=self.alphas,
                 zk_w=self.cs.zk_w(),
                 lookup_index=lookup_vk,
+                range_check0_comm=opt_comms.get(GateType.RangeCheck0),
+                range_check1_comm=opt_comms.get(GateType.RangeCheck1),
+                foreign_field_add_comm=opt_comms.get(GateType.ForeignFieldAdd),
+                foreign_field_mul_comm=opt_comms.get(GateType.ForeignFieldMul),
+                xor_comm=opt_comms.get(GateType.Xor16),
+                rot_comm=opt_comms.get(GateType.Rot64),
             )
         return self._verifier_index

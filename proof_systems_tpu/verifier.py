@@ -203,6 +203,12 @@ def oracles(
                 GateType.Poseidon: evals.poseidon_selector,
                 GateType.CompleteAdd: evals.complete_add_selector,
                 GateType.VarBaseMul: evals.mul_selector,
+                GateType.RangeCheck0: evals.range_check0_selector,
+                GateType.RangeCheck1: evals.range_check1_selector,
+                GateType.ForeignFieldAdd: evals.foreign_field_add_selector,
+                GateType.ForeignFieldMul: evals.foreign_field_mul_selector,
+                GateType.Xor16: evals.xor_selector,
+                GateType.Rot64: evals.rot_selector,
                 GateType.EndoMul: evals.emul_selector,
                 GateType.EndoMulScalar: evals.endomul_scalar_selector,
             }[g]
@@ -336,6 +342,16 @@ def to_batch(vk: VerifierIndex, proof: ProverProof, public_input: list[int]) -> 
     cols += [(proof.commitments.w_comm[i], proof.evals.w[i]) for i in range(COLUMNS)]
     cols += [(vk.coefficients_comm[i], proof.evals.coefficients[i]) for i in range(COLUMNS)]
     cols += [(vk.sigma_comm[i], proof.evals.s[i]) for i in range(PERMUTS - 1)]
+    for comm_opt, ev_opt in [
+        (vk.range_check0_comm, proof.evals.range_check0_selector),
+        (vk.range_check1_comm, proof.evals.range_check1_selector),
+        (vk.foreign_field_add_comm, proof.evals.foreign_field_add_selector),
+        (vk.foreign_field_mul_comm, proof.evals.foreign_field_mul_selector),
+        (vk.xor_comm, proof.evals.xor_selector),
+        (vk.rot_comm, proof.evals.rot_selector),
+    ]:
+        if comm_opt is not None:
+            cols.append((comm_opt, ev_opt))
     if vk.lookup_index is not None:
         li = vk.lookup_index
         lk = proof.commitments.lookup

@@ -1,6 +1,7 @@
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os, time
+os.environ["PST_TRACE"] = "1"
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/.cache/jax_comp_cache_tpu"
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache_tpu")

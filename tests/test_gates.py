@@ -136,3 +136,70 @@ def test_endomul_scalar_witness():
     endo = Pallas.endos[0]
     expect = ScalarChallenge(scalar).to_field_with_length(num_bits, endo, f)
     assert (a * endo + b) % f.p == expect
+
+
+def test_multi_range_check_witness_and_prove():
+    from proof_systems_tpu.circuits.polynomials import optional_witness as ow
+    from proof_systems_tpu.poly_commitment import srs as srs_mod
+    from proof_systems_tpu.prover import create_proof
+    from proof_systems_tpu.prover_index import ProverIndex
+    from proof_systems_tpu.utils import TestRng
+    from proof_systems_tpu.verifier import verify
+
+    rng = random.Random(31)
+    gates = ow.create_multi_range_check(0)
+    v0, v1, v2 = (rng.randrange(1 << 88) for _ in range(3))
+    cs = ConstraintSystem.create(Fp, gates, public=0, max_poly_size=1 << 13)
+    n = cs.domain.d1.n
+    witness = [[0] * n for _ in range(15)]
+    ow.multi_range_check_witness(witness, 0, v0, v1, v2)
+    check_witness(cs, witness, MDS)
+    srs = srs_mod.SRS(
+        Vesta, [srs_mod.derive_g(Vesta, i) for i in range(n)], srs_mod.derive_h(Vesta)
+    )
+    index = ProverIndex(cs, Vesta, srs)
+    trimmed = [col[: n - cs.zk_rows] for col in witness]
+    proof = create_proof(index, trimmed, TestRng(32))
+    assert verify(index.verifier_index(), proof, [], TestRng(33))
+
+
+def test_xor_witness_and_prove():
+    from proof_systems_tpu.circuits.polynomials import optional_witness as ow
+    from proof_systems_tpu.poly_commitment import srs as srs_mod
+    from proof_systems_tpu.prover import create_proof
+    from proof_systems_tpu.prover_index import ProverIndex
+    from proof_systems_tpu.utils import TestRng
+    from proof_systems_tpu.verifier import verify
+
+    rng = random.Random(34)
+    gates = ow.create_xor_gadget(0, 64)
+    in1 = rng.randrange(1 << 64)
+    in2 = rng.randrange(1 << 64)
+    cs = ConstraintSystem.create(Fp, gates, public=0, max_poly_size=1 << 13)
+    n = cs.domain.d1.n
+    witness = [[0] * n for _ in range(15)]
+    out = ow.xor_witness(witness, 0, in1, in2, 64)
+    assert out == in1 ^ in2
+    check_witness(cs, witness, MDS)
+    srs = srs_mod.SRS(
+        Vesta, [srs_mod.derive_g(Vesta, i) for i in range(n)], srs_mod.derive_h(Vesta)
+    )
+    index = ProverIndex(cs, Vesta, srs)
+    trimmed = [col[: n - cs.zk_rows] for col in witness]
+    proof = create_proof(index, trimmed, TestRng(35))
+    assert verify(index.verifier_index(), proof, [], TestRng(36))
+
+
+def test_rot64_witness_checker():
+    from proof_systems_tpu.circuits.polynomials import optional_witness as ow
+
+    rng = random.Random(37)
+    word = rng.randrange(1 << 64)
+    rot = 17
+    gates = ow.create_rot64_gadget(0, rot, Fp)
+    cs = ConstraintSystem.create(Fp, gates, public=0, max_poly_size=1 << 13)
+    n = cs.domain.d1.n
+    witness = [[0] * n for _ in range(15)]
+    rotated = ow.rot64_witness(witness, 0, word, rot)
+    assert rotated == ((word << rot) | (word >> (64 - rot))) & ((1 << 64) - 1)
+    check_witness(cs, witness, MDS)
