@@ -274,8 +274,9 @@ class LookupConstraintSystem:
                 tables.append(gate_tables[tid])
         # reference orders gate tables by BTreeSet of the enum (Xor < RangeCheck)
         total_len = sum(len(t) for t in tables)
-        if total_len > max_entries:
-            raise ValueError(f"lookup tables too long: {total_len} > {max_entries}")
+        # >= leaves room for the dummy zero row (index.rs:428-434)
+        if total_len >= max_entries:
+            raise ValueError(f"lookup tables too long: {total_len} >= {max_entries}")
 
         width = max(
             max((t.width for t in tables), default=0), info.max_joint_size
@@ -283,11 +284,12 @@ class LookupConstraintSystem:
         cols: list[list[int]] = [[] for _ in range(width)]
         table_ids: list[int] = []
         non_zero_id = False
-        has_id_0 = False
         for t in tables:
-            if t.id == 0:
-                has_id_0 = True
-            else:
+            if t.id == 0 and not t.has_zero_entry():
+                # id-0 tables must contain the dummy zero row (index.rs:422-426);
+                # if NO id-0 table exists, the zero padding below provides it.
+                raise ValueError("table with id 0 must have a zero entry")
+            if t.id != 0:
                 non_zero_id = True
             table_ids.extend([t.id % f.p] * len(t))
             for i in range(width):
@@ -295,8 +297,6 @@ class LookupConstraintSystem:
                     cols[i].extend(v % f.p for v in t.data[i])
                 else:
                     cols[i].extend([0] * len(t))
-        if not has_id_0:
-            raise ValueError("a table with id 0 (and a zero entry) is required")
         for c in cols:
             c.extend([0] * (n - len(c)))
         table_ids.extend([0] * (n - len(table_ids)))

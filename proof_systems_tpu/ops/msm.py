@@ -121,6 +121,7 @@ def msm(curve_params: CurveParams, scalars_std: jax.Array, points: APoint, c: in
     """
     curve = device_curve(curve_params)
     b, n = scalars_std.shape[1], scalars_std.shape[2]
+    orig_b = b
     if jax.default_backend() not in ("tpu", "axon"):
         # Host-exact reference path: on CPU the fused curve kernels only
         # run in (unusably slow) interpret mode, so protocol-level tests
@@ -135,7 +136,21 @@ def msm(curve_params: CurveParams, scalars_std: jax.Array, points: APoint, c: in
     if c is None:
         c = default_window_bits(n)
     windows = -(-255 // c)
+    # Normalize the batch dimension to power-of-two buckets so a handful
+    # of compiled shapes serve every caller (XLA compile ~2min/shape).
+    b_pad = 1
+    while b_pad < b:
+        b_pad *= 2
+    if b_pad != b:
+        scalars_std = jnp.concatenate(
+            [
+                scalars_std,
+                jnp.zeros((limb.NLIMBS, b_pad - b, n), dtype=scalars_std.dtype),
+            ],
+            axis=1,
+        )
     wins = curve.unpack_jacobian(_window_sums(curve, scalars_std, points, c))
+    b = scalars_std.shape[1]
     # wins: flat list of W*b affine host points (row-major (W, b))
     out = []
     host = curve.params
@@ -146,7 +161,7 @@ def msm(curve_params: CurveParams, scalars_std: jax.Array, points: APoint, c: in
                 acc = host.double(acc)
             acc = host.add(acc, wins[w * b + i])
         out.append(acc)
-    return out
+    return out[:orig_b]
 
 
 def msm_host_scalars(curve_params: CurveParams, scalars: list[list[int]], points: APoint):

@@ -171,40 +171,54 @@ def open_proof(
     t = sponge.challenge_fq()
     u_base = curve.to_group(t)
 
-    g = srs.g_dev  # APoint (16, n)
+    # The folded basis g^{(k)} is never materialised. Each round's L/R
+    # Pedersen commitments are MSMs over the ORIGINAL g with masked
+    # scalars: g^{(k)}[i] = Σ_h (Π u_r^{h_r}) g[i + offset(h)], so
+    #   L_k = < mask·tile(a_hi), g >  restricted to bit_k(j) == 0,
+    #   R_k = < mask·tile(a_lo), g >  restricted to bit_k(j) == 1,
+    # with mask[j] = Π_{r<k} u_r^{bit_{log n-1-r}(j)} (the running
+    # b_poly coefficient pattern). One fixed MSM shape serves every
+    # round (XLA compile time is the binding constraint), and the final
+    # folded base is sg = <mask_final, g> = <b_poly_coefficients, g>
+    # (ipa.rs:296 — the verifier recomputes exactly this).
     b = b_arr
     lr: list[tuple[AffinePoint, AffinePoint]] = []
     blinders: list[tuple[int, int]] = []
     chals: list[int] = []
     chal_invs: list[int] = []
 
-    extra = dc.pack_affine([srs.h, u_base])
+    import numpy as np
 
-    for _ in range(rounds):
+    extra = dc.pack_affine([srs.h, u_base])
+    g_ext = APoint(
+        jnp.concatenate([srs.g_dev.x, extra.x], axis=-1),
+        jnp.concatenate([srs.g_dev.y, extra.y], axis=-1),
+        jnp.concatenate([srs.g_dev.inf, extra.inf], axis=-1),
+    )
+    mask = F.one_mont((n,))
+    zeros_n = F.zeros((n,))
+
+    for k in range(rounds):
         m = a.shape[-1] // 2
         a_lo, a_hi = a[:, :m], a[:, m:]
         b_lo, b_hi = b[:, :m], b[:, m:]
-        g_lo = APoint(g.x[:, :m], g.y[:, :m], g.inf[:m])
-        g_hi = APoint(g.x[:, m:], g.y[:, m:], g.inf[m:])
 
         rand_l = rng.field(f.p)
         rand_r = rng.field(f.p)
         ip_l = F.unpack_mont(ntt.dot_mod(F, a_hi, b_lo))[0]
         ip_r = F.unpack_mont(ntt.dot_mod(F, a_lo, b_hi))[0]
 
-        def round_msm(g_half: APoint, vec, rand, ip):
-            pts = APoint(
-                jnp.concatenate([g_half.x, extra.x], axis=-1),
-                jnp.concatenate([g_half.y, extra.y], axis=-1),
-                jnp.concatenate([g_half.inf, extra.inf], axis=-1),
-            )
-            scal = jnp.concatenate(
-                [limb.from_mont(F, vec), F.pack([rand, ip])], axis=-1
-            )
-            return msm.msm(curve, scal[:, None, :], pts)[0]
-
-        l_pt = round_msm(g_lo, a_hi, rand_l, ip_l)
-        r_pt = round_msm(g_hi, a_lo, rand_r, ip_r)
+        bit_k = jnp.asarray(
+            ((np.arange(n) >> (rounds - 1 - k)) & 1).astype(np.bool_)
+        )
+        a_hi_t = jnp.tile(a_hi, (1, n // m))
+        a_lo_t = jnp.tile(a_lo, (1, n // m))
+        w_l = limb.select(bit_k, zeros_n, limb.mont_mul(F, mask, a_hi_t))
+        w_r = limb.select(bit_k, limb.mont_mul(F, mask, a_lo_t), zeros_n)
+        scal = limb.from_mont(F, jnp.stack([w_l, w_r], axis=1))  # (16, 2, n)
+        extras = F.pack([rand_l, ip_l, rand_r, ip_r], shape=(2, 2))
+        scal = jnp.concatenate([scal, extras], axis=-1)  # (16, 2, n+2)
+        l_pt, r_pt = msm.msm(curve, scal, g_ext)
         lr.append((l_pt, r_pt))
         blinders.append((rand_l, rand_r))
         sponge.absorb_g([l_pt])
@@ -218,27 +232,14 @@ def open_proof(
 
         a = limb.add(F, a_lo, limb.mont_mul(F, a_hi, F.pack_mont([u_inv], shape=(1,))))
         b = limb.add(F, b_lo, limb.mont_mul(F, b_hi, F.pack_mont([u], shape=(1,))))
-        # fold bases: g = g_lo + [u] g_hi
-        import jax as _jax
-
-        if _jax.default_backend() not in ("tpu", "axon"):
-            lo_host = dc.unpack_affine(g_lo)
-            hi_host = dc.unpack_affine(g_hi)
-            folded = [
-                curve.add(lo_pt, curve.scalar_mul(u, hi_pt))
-                for lo_pt, hi_pt in zip(lo_host, hi_host)
-            ]
-            g = dc.pack_affine(folded)
-        else:
-            g_j = dc.add(
-                dc.to_jacobian(g_lo),
-                scalar_mul_const(dc, jnp.asarray(limb.int_to_limbs(u)), dc.to_jacobian(g_hi)),
-            )
-            g = dc.to_affine(g_j)
+        u_bcast = F.pack_mont([u], shape=(1,))
+        mask = limb.select(
+            bit_k, limb.mont_mul(F, mask, u_bcast), mask
+        )
 
     a0 = F.unpack_mont(a)[0]
     b0 = F.unpack_mont(b)[0]
-    g0 = dc.unpack_affine(g)[0]
+    g0 = msm.msm(curve, limb.from_mont(F, mask)[:, None, :], srs.g_dev)[0]
 
     r_prime = blinding_factor
     for (rand_l, rand_r), (u, u_inv) in zip(blinders, zip(chals, chal_invs)):
