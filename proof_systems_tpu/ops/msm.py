@@ -49,6 +49,31 @@ def _scan_sum(curve: DeviceCurve, pts: JPoint, n: int, ident: JPoint) -> JPoint:
     return JPoint(pref.x[..., -1:], pref.y[..., -1:], pref.z[..., -1:])
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _combine_windows(curve: DeviceCurve, c: int, wins: JPoint) -> JPoint:
+    """Σ_w 2^{cw} · win_w on device: Horner over windows, c doublings per
+    step (replaces the host bigint recombination — the W·b device→host
+    transfer and Python point arithmetic dominated small proofs)."""
+    W = wins.x.shape[1]
+
+    def body(i, acc):
+        w = W - 1 - i
+
+        def dbl(_, a):
+            return curve.double(a)
+
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        win = JPoint(
+            jax.lax.dynamic_index_in_dim(wins.x, w, axis=1, keepdims=False),
+            jax.lax.dynamic_index_in_dim(wins.y, w, axis=1, keepdims=False),
+            jax.lax.dynamic_index_in_dim(wins.z, w, axis=1, keepdims=False),
+        )
+        return curve.add(acc, win)
+
+    init = curve.inf_jacobian((wins.x.shape[2],))
+    return jax.lax.fori_loop(0, W, body, init)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _window_sums(curve: DeviceCurve, scalars: jax.Array, points: APoint, c: int) -> JPoint:
     """All per-window Pippenger partial sums, one traced graph.
@@ -149,19 +174,9 @@ def msm(curve_params: CurveParams, scalars_std: jax.Array, points: APoint, c: in
             ],
             axis=1,
         )
-    wins = curve.unpack_jacobian(_window_sums(curve, scalars_std, points, c))
-    b = scalars_std.shape[1]
-    # wins: flat list of W*b affine host points (row-major (W, b))
-    out = []
-    host = curve.params
-    for i in range(b):
-        acc = None
-        for w in reversed(range(windows)):
-            for _ in range(c):
-                acc = host.double(acc)
-            acc = host.add(acc, wins[w * b + i])
-        out.append(acc)
-    return out[:orig_b]
+    wins = _window_sums(curve, scalars_std, points, c)  # (16, W, b)
+    combined = _combine_windows(curve, c, wins)  # (16, b)
+    return curve.unpack_jacobian(combined)[:orig_b]
 
 
 def msm_host_scalars(curve_params: CurveParams, scalars: list[list[int]], points: APoint):
