@@ -13,12 +13,28 @@ an IPA polynomial commitment), designed TPU-first:
 Package layout:
   fields.py / curves.py    host golden-model arithmetic + protocol constants
   poseidon/                transcript sponges + poseidon parameters
-  ops/                     device kernels (field, curve, ntt, msm, poseidon)
+  ops/                     device kernels (field, curve, ntt, msm, pallas)
   poly_commitment/         SRS, commitments, IPA open/verify
-  circuits/                gates, constraint system, expression framework
+  circuits/                gates, constraint system, expressions, lookup
   prover.py / verifier.py  the kimchi protocol
+  o1vm/                    zkVM column prover + RISC-V interpreter
+  mina/                    ROInput hashing, Schnorr signer, base58
+  serialization.py         rmp/MessagePack proof wire format
   parallel/                device-mesh sharded kernels
-  models/                  example/benchmark circuit families
 """
 
 __version__ = "0.1.0"
+
+
+def prove(index, witness, rng, prev_challenges=()):
+    """Create a kimchi proof (see prover.create_proof)."""
+    from .prover import create_proof
+
+    return create_proof(index, witness, rng, prev_challenges)
+
+
+def verify(vk, proof, public_input, rng):
+    """Verify a kimchi proof (see verifier.verify)."""
+    from .verifier import verify as _verify
+
+    return _verify(vk, proof, public_input, rng)

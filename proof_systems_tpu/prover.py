@@ -11,14 +11,16 @@ every column-sized computation runs as batched limb kernels on device:
   - ζ/ζω evaluations: batched <coeffs, powers> dot products,
   - the IPA opening (poly_commitment/ipa.open_proof).
 
-Currently supports num_chunks == 1 (zk_rows == 3); chunked circuits are
-tracked for a later milestone.
+Chunked circuits (domain larger than the SRS) are supported: commitments
+carry num_chunks chunks, evaluations are chunk lists recombined with
+powers of ζ^max_poly_size (prover.rs:194-199,956-975; tests/chunked.rs).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 from .circuits import expr as expr_mod
@@ -46,6 +48,178 @@ def fr_sponge_for(f):
     return FrSponge(params)
 
 
+
+def _quotient_fn(index: ProverIndex):
+    """Build (once per index) a single jitted function computing the full
+    quotient phase: d8 extension of witness/z, the constraint-AST walk,
+    the permutation contribution, vanishing division, and the bnd terms.
+    Fusing this into ONE dispatch removes ~200 host->device round trips
+    (dominant at small circuit sizes through the axon tunnel)."""
+    if getattr(index, "_qfn", None) is not None:
+        return index._qfn
+    cs = index.cs
+    f = cs.f
+    p = f.p
+    F = limb.device_field(f)
+    cd = index.column_data
+    d1, d8 = cs.domain.d1, cs.domain.d8
+    n = d1.n
+    zk = cs.zk_rows
+    lcs = cs.lookup_cs
+    from .circuits.polynomials import optional_gates as og
+    from .poseidon import fp_kimchi as _pk, fq_kimchi as _qk
+
+    opt_present = [g for g in og.OPTIONAL_GATE_ORDER if g in cd.selector8]
+    mds_params = _pk if f.name == "Fp" else _qk
+    perm_exps = index.alphas.get_exponents("permutation", 3)
+
+    def to_d8(coeffs):
+        padded = jnp.concatenate(
+            [coeffs, jnp.zeros((NLIMBS, *coeffs.shape[1:-1], 7 * n), dtype=coeffs.dtype)],
+            axis=-1,
+        )
+        return d8.ntt(padded)
+
+    def qfn(w_coeffs, z_coeffs, public_low, chal, lookup_in):
+        w8 = to_d8(w_coeffs)
+        z8 = to_d8(z_coeffs[:, None, :])[:, 0]
+        columns = {expr_mod.col_witness(i): w8[:, i] for i in range(COLUMNS)}
+        columns.update(
+            {expr_mod.col_coeff(i): cd.coefficients8[:, i] for i in range(COLUMNS)}
+        )
+        columns[expr_mod.COL_Z] = z8
+        for g in ALWAYS_ON:
+            columns[expr_mod.col_index(g)] = cd.selector8[g]
+        for g in opt_present:
+            columns[expr_mod.col_index(g)] = cd.selector8[g]
+
+        jt_coeff = None
+        if lcs is not None:
+            ld = index.lookup_data
+            jt_coeff = None
+            jt8 = None
+            jpow = F.one_mont((1,))
+            for i in range(ld["table_coeff"].shape[1]):
+                term_c = limb.mont_mul(F, ld["table_coeff"][:, i], jpow)
+                term_8 = limb.mont_mul(F, ld["table8"][:, i], jpow)
+                jt_coeff = term_c if jt_coeff is None else limb.add(F, jt_coeff, term_c)
+                jt8 = term_8 if jt8 is None else limb.add(F, jt8, term_8)
+                jpow = limb.mont_mul(F, jpow, chal["joint_combiner"])
+            if ld["ids_coeff"] is not None:
+                jt_coeff = limb.add(
+                    F, jt_coeff, limb.mont_mul(F, ld["ids_coeff"], chal["tid_comb"])
+                )
+                jt8 = limb.add(F, jt8, limb.mont_mul(F, ld["ids8"], chal["tid_comb"]))
+            sorted8 = to_d8(lookup_in["sorted_coeffs"])
+            aggreg8 = to_d8(lookup_in["aggreg_coeffs"][:, None, :])[:, 0]
+            for i in range(sorted8.shape[1]):
+                columns[lookup_mod.col_lookup_sorted(i)] = sorted8[:, i]
+            columns[lookup_mod.COL_LOOKUP_AGGREG] = aggreg8
+            columns[lookup_mod.COL_LOOKUP_TABLE] = jt8
+            for pat in lcs.info.patterns:
+                columns[lookup_mod.col_lookup_kind(pat)] = ld["sel8"][pat]
+
+        ctx = expr_mod.DeviceEvalContext(
+            F=F,
+            columns=columns,
+            challenges=chal,
+            endo=cs.endo,
+            mds=[list(r) for r in mds_params.mds],
+            domain_n=n,
+            zk_rows=zk,
+            omega=d1.group_gen,
+            vanishes_on_zk_and_previous=cd.vanishes_zk_prev8,
+        )
+        if lcs is not None:
+
+            def unnorm_lagrange(row_idx: int):
+                num = limb.sub(F, limb.mont_pow(F, cd.x_d8, n), F.one_mont((1,)))
+                den = limb.sub(F, cd.x_d8, F.const_mont(cs.sid[row_idx], (1,)))
+                return limb.mont_mul(F, num, limb.batch_inverse(F, den))
+
+            ctx.unnormalized_lagrange = {
+                0: unnorm_lagrange(0),
+                n - zk - 1: unnorm_lagrange(n - zk - 1),
+            }
+
+        gate_evals8 = expr_mod.eval_dev(index.linearization_expr, ctx)
+
+        a0 = limb.mont_pow(F, chal["alpha"], perm_exps[0]) if perm_exps[0] else F.one_mont((1,))
+        a1 = limb.mont_pow(F, chal["alpha"], perm_exps[1])
+        a2 = limb.mont_pow(F, chal["alpha"], perm_exps[2])
+
+        shifts_side = z8
+        for i in range(PERMUTS):
+            bshift = limb.mont_mul(F, chal["beta"], F.const_mont(cs.shift[i], (1,)))
+            term = limb.add(
+                F,
+                limb.add(F, w8[:, i], chal["gamma"]),
+                limb.mont_mul(F, cd.x_d8, bshift),
+            )
+            shifts_side = limb.mont_mul(F, shifts_side, term)
+        sigmas_side = jnp.roll(z8, -8, axis=-1)
+        for i in range(PERMUTS):
+            term = limb.add(
+                F,
+                limb.add(F, w8[:, i], chal["gamma"]),
+                limb.mont_mul(F, cd.sigma8[:, i], chal["beta"]),
+            )
+            sigmas_side = limb.mont_mul(F, sigmas_side, term)
+        perm8 = limb.mont_mul(
+            F,
+            limb.mont_mul(F, limb.sub(F, shifts_side, sigmas_side), a0),
+            cd.zkpl8,
+        )
+
+        t8 = limb.add(F, gate_evals8, perm8)
+        f_coeffs = d8.intt(t8)
+        f_coeffs = f_coeffs.at[:, :n].set(limb.add(F, f_coeffs[:, :n], public_low))
+        quotient, rem = poly.divide_by_vanishing(F, f_coeffs, n)
+
+        z_minus_1 = z_coeffs.at[:, 0].set(
+            limb.sub(F, z_coeffs[:, 0:1], F.one_mont((1,)))[:, 0]
+        )
+        bnd1, r1 = _divide_by_linear_dev(F, z_minus_1, 1)
+        bnd2, r2 = _divide_by_linear_dev(F, z_minus_1, cs.sid[n - zk])
+        bnd = limb.add(
+            F, limb.mont_mul(F, bnd1, a1), limb.mont_mul(F, bnd2, a2)
+        )
+        quotient = quotient.at[:, : n - 1].set(
+            limb.add(F, quotient[:, : n - 1], bnd)
+        )
+        return quotient, rem, jt_coeff, r1, r2
+
+    # Fusing into one jit pays on TPU (dispatch latency);  on CPU the
+    # ~100k-HLO graph compiles for tens of minutes, so run it op-by-op
+    # there (each limb op is individually jitted + persistently cached).
+    if jax.default_backend() in ("tpu", "axon"):
+        index._qfn = jax.jit(qfn)
+    else:
+        index._qfn = qfn
+    return index._qfn
+
+
+def _divide_by_linear_dev(F, coeffs, c: int):
+    """poly.divide_by_linear with the remainder left on device."""
+    from .ops.scan import blocked_prefix_scan
+
+    L = coeffs.shape[-1]
+    rev = coeffs[..., ::-1]
+    ones = jnp.broadcast_to(F.one_mont((1,)), rev.shape)
+    cs_arr = jnp.broadcast_to(F.const_mont(c, (1,)), rev.shape)
+
+    def op(x, y):
+        v1, m1 = x
+        v2, m2 = y
+        return (limb.add(F, v2, limb.mont_mul(F, m2, v1)), limb.mont_mul(F, m1, m2))
+
+    ident = (F.zeros((1,)), F.one_mont((1,)))
+    vs, _ = blocked_prefix_scan(op, ident, (rev, cs_arr), L)
+    q = vs[..., : L - 1][..., ::-1]
+    rem = vs[..., L - 1 : L]
+    return q, rem
+
+
 def create_proof(
     index: ProverIndex,
     witness: list[list[int]],
@@ -60,8 +234,8 @@ def create_proof(
     curve = index.curve
     d1, d8 = cs.domain.d1, cs.domain.d8
     n = d1.n
-    assert index.num_chunks == 1, "chunked proving lands in a later milestone"
-    assert cs.zk_rows == 3
+    nc = index.num_chunks
+    srs_len = index.max_poly_size
     zk = cs.zk_rows
     _, endo_r = curve.endos
 
@@ -88,8 +262,8 @@ def create_proof(
     public_evals_d1 = [(-x) % p for x in public] + [0] * (n - cs.public)
     public_dev = F.pack_mont(public_evals_d1, shape=(1, n))
     public_coeffs = d1.intt(public_dev)  # (16, 1, n)
-    public_comm_nh = index.srs.commit_coeffs_dev(public_coeffs, 1)[0]
-    public_comm = index.srs.mask(public_comm_nh, [1])
+    public_comm_nh = index.srs.commit_coeffs_dev(public_coeffs, nc)[0]
+    public_comm = index.srs.mask(public_comm_nh, [1] * nc)
     fq_sponge.absorb_g(public_comm.chunks)
 
     checkpoint("set_up_fq_sponge")
@@ -97,8 +271,9 @@ def create_proof(
     flat_w = [v for col in witness for v in col]
     w_evals = F.pack_mont(flat_w, shape=(COLUMNS, n))  # (16, 15, n)
     w_coeffs = d1.intt(w_evals)
-    w_comms_nh = index.srs.commit_coeffs_dev(w_coeffs, 1)
-    w_blinders = [[rng.field(p)] for _ in range(COLUMNS)]
+    w_comms_nh = index.srs.commit_coeffs_dev(w_coeffs, nc)
+    # vec![rand; num_chunks]: ONE sample repeated per chunk (prover.rs:317)
+    w_blinders = [[rng.field(p)] * nc for _ in range(COLUMNS)]
     w_comms = [index.srs.mask(c, b) for c, b in zip(w_comms_nh, w_blinders)]
     for c in w_comms:
         fq_sponge.absorb_g(c.chunks)
@@ -127,8 +302,10 @@ def create_proof(
             [v for col in sorted_cols for v in col], shape=(nsorted, n)
         )
         sorted_coeffs = d1.intt(sorted_dev)
-        sorted_comms_nh = index.srs.commit_coeffs_dev(sorted_coeffs, 1)
-        sorted_blinders = [[rng.field(p)] for _ in range(nsorted)]
+        sorted_comms_nh = index.srs.commit_coeffs_dev(sorted_coeffs, nc)
+        sorted_blinders = [
+            [rng.field(p) for _ in range(nc)] for _ in range(nsorted)
+        ]
         sorted_comms = [
             index.srs.mask(c, b) for c, b in zip(sorted_comms_nh, sorted_blinders)
         ]
@@ -152,8 +329,8 @@ def create_proof(
         )
         aggreg_dev = F.pack_mont(aggreg, shape=(1, n))
         aggreg_coeffs = d1.intt(aggreg_dev)
-        aggreg_comm_nh = index.srs.commit_coeffs_dev(aggreg_coeffs, 1)[0]
-        aggreg_blinder = [rng.field(p)]
+        aggreg_comm_nh = index.srs.commit_coeffs_dev(aggreg_coeffs, nc)[0]
+        aggreg_blinder = [rng.field(p) for _ in range(nc)]
         aggreg_comm = index.srs.mask(aggreg_comm_nh, aggreg_blinder)
         fq_sponge.absorb_g(aggreg_comm.chunks)
         lookup_ctx.update(
@@ -192,17 +369,22 @@ def create_proof(
     if z_check != 1:
         raise ValueError("permutation argument: final z value is not 1")
     rand1, rand2 = rng.field(p), rng.field(p)
-    z_evals = jnp.concatenate(
-        [
-            F.one_mont((1,)),
-            pref[:, : n - zk],  # z[1..n-2]
-            F.pack_mont([rand1, rand2], shape=(2,)),
-        ],
-        axis=-1,
-    )[:, :n]
+    parts = [
+        F.one_mont((1,)),
+        pref[:, : n - zk],  # z[1..n-zk]
+        F.pack_mont([rand1, rand2], shape=(2,)),
+    ]
+    if zk > 3:
+        # rows n-zk+3..n-1 continue the cumulative recurrence from rand2
+        # (permutation.rs:546-556 general case)
+        anchor_inv = pow(F.unpack_mont(pref[:, n - zk + 1 : n - zk + 2])[0], -1, p)
+        scale = F.pack_mont([rand2 * anchor_inv % p], shape=(1,))
+        tail = limb.mont_mul(F, pref[:, n - zk + 2 : n - 1], scale)
+        parts.append(tail)
+    z_evals = jnp.concatenate(parts, axis=-1)[:, :n]
     z_coeffs = d1.intt(z_evals)
-    z_comm_nh = index.srs.commit_coeffs_dev(z_coeffs[:, None, :], 1)[0]
-    z_blinder = [rng.field(p)]
+    z_comm_nh = index.srs.commit_coeffs_dev(z_coeffs[:, None, :], nc)[0]
+    z_blinder = [rng.field(p) for _ in range(nc)]
     z_comm = index.srs.mask(z_comm_nh, z_blinder)
     fq_sponge.absorb_g(z_comm.chunks)
 
@@ -212,153 +394,44 @@ def create_proof(
     index.alphas.instantiate(alpha, p)
 
     checkpoint("eval_witness_polynomials_over_domains")
-    # -- 8. quotient -------------------------------------------------------
-    def to_d8(coeffs):  # (16, b, n) -> evals on d8
-        padded = jnp.concatenate(
-            [coeffs, jnp.zeros((NLIMBS, *coeffs.shape[1:-1], 7 * n), dtype=coeffs.dtype)],
-            axis=-1,
-        )
-        return d8.ntt(padded)
-
-    w8 = to_d8(w_coeffs)  # (16, 15, 8n)
-    z8 = to_d8(z_coeffs[:, None, :])[:, 0]  # (16, 8n)
+    # -- 8. quotient (one fused jitted dispatch) ---------------------------
     cd = index.column_data
-
-    columns = {expr_mod.col_witness(i): w8[:, i] for i in range(COLUMNS)}
-    columns.update({expr_mod.col_coeff(i): cd.coefficients8[:, i] for i in range(COLUMNS)})
-    columns[expr_mod.COL_Z] = z8
-    for g in ALWAYS_ON:
-        columns[expr_mod.col_index(g)] = cd.selector8[g]
     from .circuits.polynomials import optional_gates as og
 
     opt_present = [g for g in og.OPTIONAL_GATE_ORDER if g in cd.selector8]
-    for g in opt_present:
-        columns[expr_mod.col_index(g)] = cd.selector8[g]
-    joint_val = 0
+    joint_val = lookup_ctx["joint"] if lcs is not None else 0
+    chal = {
+        "alpha": F.pack_mont([alpha], shape=(1,)),
+        "beta": F.pack_mont([beta], shape=(1,)),
+        "gamma": F.pack_mont([gamma], shape=(1,)),
+        "joint_combiner": F.pack_mont([joint_val], shape=(1,)),
+        "tid_comb": F.pack_mont(
+            [lookup_ctx.get("tid_comb", 0) if lcs is not None else 0], shape=(1,)
+        ),
+    }
+    lookup_in = None
     if lcs is not None:
-        joint_val = lookup_ctx["joint"]
-        ld = index.lookup_data
-        # combined joint table: Σ j^i col_i (+ tid·ids), coeff + d8 forms
-        jt_coeff = None
-        jt8 = None
-        jpow = 1
-        for i in range(ld["table_coeff"].shape[1]):
-            sc = F.pack_mont([jpow], shape=(1,))
-            term_c = limb.mont_mul(F, ld["table_coeff"][:, i], sc)
-            term_8 = limb.mont_mul(F, ld["table8"][:, i], sc)
-            jt_coeff = term_c if jt_coeff is None else limb.add(F, jt_coeff, term_c)
-            jt8 = term_8 if jt8 is None else limb.add(F, jt8, term_8)
-            jpow = jpow * joint_val % p
-        if ld["ids_coeff"] is not None:
-            sc = F.pack_mont([lookup_ctx["tid_comb"]], shape=(1,))
-            jt_coeff = limb.add(F, jt_coeff, limb.mont_mul(F, ld["ids_coeff"], sc))
-            jt8 = limb.add(F, jt8, limb.mont_mul(F, ld["ids8"], sc))
-        lookup_ctx["jt_coeff"] = jt_coeff
-        sorted8 = to_d8(lookup_ctx["sorted_coeffs"])
-        aggreg8 = to_d8(lookup_ctx["aggreg_coeffs"][:, None, :])[:, 0]
-        for i in range(sorted8.shape[1]):
-            columns[lookup_mod.col_lookup_sorted(i)] = sorted8[:, i]
-        columns[lookup_mod.COL_LOOKUP_AGGREG] = aggreg8
-        columns[lookup_mod.COL_LOOKUP_TABLE] = jt8
-        for pat in lcs.info.patterns:
-            columns[lookup_mod.col_lookup_kind(pat)] = ld["sel8"][pat]
-
-    from .poseidon import fp_kimchi as _pk, fq_kimchi as _qk
-
-    mds_params = _pk if f.name == "Fp" else _qk
-    ctx = expr_mod.DeviceEvalContext(
-        F=F,
-        columns=columns,
-        challenges={"alpha": alpha, "beta": beta, "gamma": gamma,
-                    "joint_combiner": joint_val},
-        endo=cs.endo,
-        mds=[list(r) for r in mds_params.mds],
-        domain_n=n,
-        zk_rows=zk,
-        omega=d1.group_gen,
-        vanishes_on_zk_and_previous=cd.vanishes_zk_prev8,
-    )
-    if lcs is not None:
-        # unnormalized Lagrange basis evals on d8 for the boundary rows
-        from .ops import ntt as ntt_mod
-
-        def unnorm_lagrange(row_idx: int):
-            num = limb.sub(
-                F,
-                limb.mont_pow(F, cd.x_d8, n),
-                F.one_mont((1,)),
-            )
-            den = limb.sub(F, cd.x_d8, F.const_mont(cs.sid[row_idx], (1,)))
-            return limb.mont_mul(F, num, limb.batch_inverse(F, den))
-
-        ctx.unnormalized_lagrange = {
-            0: unnorm_lagrange(0),
-            n - zk - 1: unnorm_lagrange(n - zk - 1),
+        lookup_in = {
+            "sorted_coeffs": lookup_ctx["sorted_coeffs"],
+            "aggreg_coeffs": lookup_ctx["aggreg_coeffs"],
         }
     checkpoint("compute_quotient_poly")
-    gate_evals8 = expr_mod.eval_dev(index.linearization_expr, ctx)  # (16, 8n)
-    if debug is not None:
-        debug["ctx_columns"] = columns
-        debug["gate_evals8"] = gate_evals8
-        debug["ctx_obj"] = ctx
-
-    # permutation contribution (perm_quot)
-    a0, a1, a2 = index.alphas.get_alphas("permutation", 3)
-    shifts_side = z8
-    for i in range(PERMUTS):
-        term = limb.add(
-            F,
-            limb.add(F, w8[:, i], gamma_m[:, 0]),
-            limb.mont_mul(
-                F, cd.x_d8, F.const_mont(beta * cs.shift[i] % p, (1,))
-            ),
-        )
-        shifts_side = limb.mont_mul(F, shifts_side, term)
-    sigmas_side = jnp.roll(z8, -8, axis=-1)  # z(x·ω) on d8
-    for i in range(PERMUTS):
-        term = limb.add(
-            F,
-            limb.add(F, w8[:, i], gamma_m[:, 0]),
-            limb.mont_mul(F, cd.sigma8[:, i], F.const_mont(beta, (1,))),
-        )
-        sigmas_side = limb.mont_mul(F, sigmas_side, term)
-    perm8 = limb.mont_mul(
-        F,
-        limb.mont_mul(F, limb.sub(F, shifts_side, sigmas_side), F.const_mont(a0, (1,))),
-        cd.zkpl8,
+    quotient, _rem, jt_coeff, r1_dev, r2_dev = _quotient_fn(index)(
+        w_coeffs, z_coeffs, public_coeffs[:, 0], chal, lookup_in
     )
-
-    t8 = limb.add(F, gate_evals8, perm8)
-    f_coeffs = d8.intt(t8)  # (16, 8n)
-    # add public polynomial (coefficients, low block)
-    f_coeffs = f_coeffs.at[:, :n].set(limb.add(F, f_coeffs[:, :n], public_coeffs[:, 0]))
-    quotient, _rem = poly.divide_by_vanishing(F, f_coeffs, n)  # (16, 7n)
+    if lcs is not None:
+        lookup_ctx["jt_coeff"] = jt_coeff
     if debug is not None:
         import numpy as _np
 
         debug["quotient_rem_zero"] = bool(
             _np.all(_np.asarray(limb.is_zero(F, _rem)))
         )
-
-    # bnd terms: (z-1)/(x-1)*α1 + (z-1)/(x-ω^{n-zk})*α2
-    z_minus_1 = z_coeffs.at[:, 0].set(
-        limb.sub(F, z_coeffs[:, 0:1], F.one_mont((1,)))[:, 0]
-    )
-    bnd1, r1 = poly.divide_by_linear(F, z_minus_1, 1)
-    bnd2, r2 = poly.divide_by_linear(F, z_minus_1, cs.sid[n - zk])
-    assert r1 == 0 and r2 == 0, "bnd division remainder"
-    bnd = limb.add(
-        F,
-        limb.mont_mul(F, bnd1, F.const_mont(a1, (1,))),
-        limb.mont_mul(F, bnd2, F.const_mont(a2, (1,))),
-    )  # (16, n-1)
-    quotient = quotient.at[:, : n - 1].set(
-        limb.add(F, quotient[:, : n - 1], bnd)
-    )
+    a0, a1, a2 = index.alphas.get_alphas("permutation", 3)
 
     checkpoint("commit_quotient")
-    t_comm_nh = index.srs.commit_coeffs_dev(quotient[:, None, :], 7)[0]
-    t_blinders = [rng.field(p) for _ in range(7)]
+    t_comm_nh = index.srs.commit_coeffs_dev(quotient[:, None, :], 7 * nc)[0]
+    t_blinders = [rng.field(p) for _ in range(len(t_comm_nh.chunks))]
     t_comm = index.srs.mask(t_comm_nh, t_blinders)
     fq_sponge.absorb_g(t_comm.chunks)
 
@@ -368,8 +441,8 @@ def create_proof(
     omega = d1.group_gen
     zeta_omega = zeta * omega % p
 
-    pow_z = poly.powers_dev(F, zeta, n)
-    pow_zw = poly.powers_dev(F, zeta_omega, n)
+    pow_z = poly.powers_dev(F, zeta, srs_len)
+    pow_zw = poly.powers_dev(F, zeta_omega, srs_len)
 
     # batched coefficient stack: [public, z, w×15, s×6, coeff×15, sel×6]
     sel_stack = jnp.stack([cd.selector_coeff[g] for g in ALWAYS_ON], axis=1)
@@ -400,11 +473,15 @@ def create_proof(
         lk_stack += [ld["sel_coeff"][pat] for pat in lk_pats]
         stack = jnp.concatenate([stack, jnp.stack(lk_stack, axis=1)], axis=1)
 
-    ev_z = poly.eval_at(F, stack, pow_z)
-    ev_zw = poly.eval_at(F, stack, pow_zw)
+    ncols_stack = stack.shape[1]
+    chunked = stack.reshape(limb.NLIMBS, ncols_stack * nc, srs_len)
+    ev_z = poly.eval_at(F, chunked, pow_z)
+    ev_zw = poly.eval_at(F, chunked, pow_zw)
 
     def pe(i: int) -> PointEvaluations:
-        return PointEvaluations([ev_z[i]], [ev_zw[i]])
+        return PointEvaluations(
+            ev_z[i * nc : (i + 1) * nc], ev_zw[i * nc : (i + 1) * nc]
+        )
 
     evals = ProofEvaluations(
         public=pe(0),
@@ -445,8 +522,9 @@ def create_proof(
 
     checkpoint("compute_ft_poly")
     # -- 11. ft polynomial (Maller) ---------------------------------------
-    zeta_n = pow(zeta, n, p)  # = zeta_to_srs_len = zeta_to_domain_size here
-    combined = evals.combine(zeta_n, pow(zeta_omega, n, p), p)
+    zeta_srs = pow(zeta, srs_len, p)
+    zeta_n = pow(zeta, n, p)  # zeta_to_domain_size
+    combined = evals.combine(zeta_srs, pow(zeta_omega, srs_len, p), p)
     zkpm_zeta = cs.eval_zkpm(zeta)
     perm_scalar = combined.z.zeta_omega[0] * beta % p * a0 % p * zkpm_zeta % p
     for i in range(PERMUTS - 1):
@@ -457,32 +535,37 @@ def create_proof(
         )
     perm_scalar = (-perm_scalar) % p
 
-    f_lin = limb.mont_mul(
+    f_full = limb.mont_mul(
         F, cd.sigma_coeff[:, PERMUTS - 1], F.const_mont(perm_scalar, (1,))
     )  # (16, n)
-    # collapse the 7 t chunks with powers of ζ^n
-    t_collapsed = quotient[:, :n]
-    zn_pow = zeta_n
-    for i in range(1, 7):
-        chunk = quotient[:, i * n : (i + 1) * n]
-        pad = n - chunk.shape[-1]
-        if pad:
-            chunk = jnp.concatenate(
-                [chunk, jnp.zeros((NLIMBS, pad), dtype=chunk.dtype)], axis=-1
-            )
-        t_collapsed = limb.add(
-            F, t_collapsed, limb.mont_mul(F, chunk, F.const_mont(zn_pow, (1,)))
-        )
-        zn_pow = zn_pow * zeta_n % p
+
+    def collapse_chunks(arr, nchunks):
+        # Σ ζ^{srs·i} chunk_i, padding the last chunk with zeros
+        acc = None
+        zp_ = 1
+        for i in range(nchunks):
+            chunk = arr[:, i * srs_len : (i + 1) * srs_len]
+            pad = srs_len - chunk.shape[-1]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((NLIMBS, pad), dtype=chunk.dtype)], axis=-1
+                )
+            term = limb.mont_mul(F, chunk, F.const_mont(zp_, (1,)))
+            acc = term if acc is None else limb.add(F, acc, term)
+            zp_ = zp_ * zeta_srs % p
+        return acc
+
+    f_lin = collapse_chunks(f_full, nc)
+    t_collapsed = collapse_chunks(quotient, len(t_blinders))
     ft_coeffs = limb.sub(
         F, f_lin, limb.mont_mul(F, t_collapsed, F.const_mont((zeta_n - 1) % p, (1,)))
     )
-    # blinding of ft: -(ζ^n - 1)·Σ ζ^{n i} w_t_i
+    # blinding of ft: -(ζ^n - 1)·Σ ζ^{srs·i} w_t_i
     t_blind_collapsed = 0
     zp = 1
     for w_t in t_blinders:
         t_blind_collapsed = (t_blind_collapsed + zp * w_t) % p
-        zp = zp * zeta_n % p
+        zp = zp * zeta_srs % p
     blinding_ft = (-(zeta_n - 1) * t_blind_collapsed) % p
 
     ft_eval1 = poly.eval_at(F, ft_coeffs[:, None, :], pow_zw)[0]
@@ -517,19 +600,19 @@ def create_proof(
 
         coeffs = b_poly_coefficients(f, rc.chals)
         plnms.append((F.pack_mont(coeffs, shape=(len(coeffs),)), [0] * len(rc.comm)))
-    plnms.append((public_coeffs[:, 0], [1]))
+    plnms.append((public_coeffs[:, 0], [1] * nc))
     plnms.append((ft_coeffs, [blinding_ft]))
     plnms.append((z_coeffs, z_blinder))
     for g in ALWAYS_ON:
-        plnms.append((cd.selector_coeff[g], [1]))
+        plnms.append((cd.selector_coeff[g], [1] * nc))
     for i in range(COLUMNS):
         plnms.append((w_coeffs[:, i], w_blinders[i]))
     for i in range(COLUMNS):
-        plnms.append((cd.coefficients_coeff[:, i], [0]))
+        plnms.append((cd.coefficients_coeff[:, i], [0] * nc))
     for i in range(PERMUTS - 1):
-        plnms.append((cd.sigma_coeff[:, i], [0]))
+        plnms.append((cd.sigma_coeff[:, i], [0] * nc))
     for g in opt_present:
-        plnms.append((cd.selector_coeff[g], [0]))
+        plnms.append((cd.selector_coeff[g], [0] * nc))
     if lcs is not None:
         ld = index.lookup_data
         for i in range(len(lookup_ctx["sorted_cols"])):
@@ -544,7 +627,7 @@ def create_proof(
             for _ in range(1, width):
                 fb = (1 + lookup_ctx["joint"] * fb) % p
         base_blinding = (fb + lookup_ctx["tid_comb"]) % p
-        plnms.append((lookup_ctx["jt_coeff"], [base_blinding]))
+        plnms.append((lookup_ctx["jt_coeff"], [base_blinding] * nc))
         for pat in list(lcs.info.patterns):
             plnms.append((ld["sel_coeff"][pat], [0]))
 

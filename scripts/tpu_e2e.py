@@ -33,3 +33,6 @@ print("prove(steady) %.2fs" % (time.time()-t0), flush=True)
 t0 = time.time()
 ok = verify(vk, proof, [], TestRng(7))
 print("verify:", ok, "%.2fs" % (time.time()-t0), flush=True)
+t0 = time.time()
+ok = verify(vk, proof, [], TestRng(8))
+print("verify(steady):", ok, "%.2fs" % (time.time()-t0), flush=True)

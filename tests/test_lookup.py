@@ -19,7 +19,7 @@ from proof_systems_tpu.verifier import verify
 
 def lookup_circuit(num_lookup_rows: int, table_len: int):
     rng = random.Random(9)
-    table = LookupTable(0, [list(range(table_len)), [i * i + 1 for i in range(table_len)]])
+    table = LookupTable(0, [list(range(table_len)), [i * i for i in range(table_len)]])
     gates = [CircuitGate(GateType.Lookup, new_wires(r), []) for r in range(num_lookup_rows)]
     witness = [[0] * num_lookup_rows for _ in range(15)]
     for r in range(num_lookup_rows):
