@@ -49,8 +49,7 @@ def _scan_sum(curve: DeviceCurve, pts: JPoint, n: int, ident: JPoint) -> JPoint:
     return JPoint(pref.x[..., -1:], pref.y[..., -1:], pref.z[..., -1:])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _combine_windows(curve: DeviceCurve, c: int, wins: JPoint) -> JPoint:
+def _combine_windows_body(curve: DeviceCurve, c: int, wins: JPoint) -> JPoint:
     """Σ_w 2^{cw} · win_w on device: Horner over windows, c doublings per
     step (replaces the host bigint recombination — the W·b device→host
     transfer and Python point arithmetic dominated small proofs)."""
@@ -75,7 +74,15 @@ def _combine_windows(curve: DeviceCurve, c: int, wins: JPoint) -> JPoint:
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
-def _window_sums(curve: DeviceCurve, scalars: jax.Array, points: APoint, c: int) -> JPoint:
+def _msm_affine(curve: DeviceCurve, scalars: jax.Array, points: APoint, c: int):
+    """Full device MSM: window sums + Horner recombination + affine
+    normalization fused into one dispatch."""
+    wins = _window_sums_body(curve, scalars, points, c)
+    combined = _combine_windows_body(curve, c, wins)
+    return curve.to_affine(combined)
+
+
+def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c: int) -> JPoint:
     """All per-window Pippenger partial sums, one traced graph.
 
     scalars: (16, b, n) canonical (NON-Montgomery) limbs.
@@ -174,9 +181,8 @@ def msm(curve_params: CurveParams, scalars_std: jax.Array, points: APoint, c: in
             ],
             axis=1,
         )
-    wins = _window_sums(curve, scalars_std, points, c)  # (16, W, b)
-    combined = _combine_windows(curve, c, wins)  # (16, b)
-    return curve.unpack_jacobian(combined)[:orig_b]
+    aff = _msm_affine(curve, scalars_std, points, c)
+    return curve.unpack_affine(aff)[:orig_b]
 
 
 def msm_host_scalars(curve_params: CurveParams, scalars: list[list[int]], points: APoint):

@@ -133,8 +133,10 @@ def combine_polys_dev(
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def _round_scalars(F, a, b, mask, bit_k):
-    """One round's L/R MSM scalars + inner products, fused (one dispatch)."""
+def _round_scalars(F, a, b, mask, bit_k, rand_lr):
+    """One round's L/R MSM scalar rows [w ++ rand ++ ip], one dispatch.
+
+    rand_lr: (16, 2, 1) canonical standard-form blinders."""
     m = a.shape[-1] // 2
     n = mask.shape[-1]
     a_lo, a_hi = a[:, :m], a[:, m:]
@@ -146,8 +148,10 @@ def _round_scalars(F, a, b, mask, bit_k):
     a_lo_t = jnp.tile(a_lo, (1, n // m))
     w_l = limb.select(bit_k, zeros_n, limb.mont_mul(F, mask, a_hi_t))
     w_r = limb.select(bit_k, limb.mont_mul(F, mask, a_lo_t), zeros_n)
-    scal = limb.from_mont(F, jnp.stack([w_l, w_r], axis=1))
-    return ip_l, ip_r, scal
+    body = limb.from_mont(F, jnp.stack([w_l, w_r], axis=1))
+    ips = limb.from_mont(F, jnp.stack([ip_l, ip_r], axis=1))
+    scal = jnp.concatenate([body, rand_lr, ips], axis=-1)  # (16, 2, n+2)
+    return scal
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -235,11 +239,8 @@ def open_proof(
         bit_k = jnp.asarray(
             ((np.arange(n) >> (rounds - 1 - k)) & 1).astype(np.bool_)
         )
-        ip_l_m, ip_r_m, scal = _round_scalars(F, a, b, mask, bit_k)
-        ip_l = F.unpack_mont(ip_l_m)[0]
-        ip_r = F.unpack_mont(ip_r_m)[0]
-        extras = F.pack([rand_l, ip_l, rand_r, ip_r], shape=(2, 2))
-        scal = jnp.concatenate([scal, extras], axis=-1)  # (16, 2, n+2)
+        rand_lr = F.pack([rand_l, rand_r], shape=(2, 1))
+        scal = _round_scalars(F, a, b, mask, bit_k, rand_lr)
         l_pt, r_pt = msm.msm(curve, scal, g_ext)
         lr.append((l_pt, r_pt))
         blinders.append((rand_l, rand_r))
