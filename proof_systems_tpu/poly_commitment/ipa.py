@@ -232,7 +232,10 @@ def open_proof(
     mask = F.one_mont((n,))
     zeros_n = F.zeros((n,))
 
+    from ..utils.tracing import checkpoint
+
     for k in range(rounds):
+        checkpoint(f"ipa_round_{k}_start")
         rand_l = rng.field(f.p)
         rand_r = rng.field(f.p)
 
@@ -241,7 +244,9 @@ def open_proof(
         )
         rand_lr = F.pack([rand_l, rand_r], shape=(2, 1))
         scal = _round_scalars(F, a, b, mask, bit_k, rand_lr)
+        checkpoint("ipa_scalars")
         l_pt, r_pt = msm.msm(curve, scal, g_ext)
+        checkpoint("ipa_msm")
         lr.append((l_pt, r_pt))
         blinders.append((rand_l, rand_r))
         sponge.absorb_g([l_pt])
@@ -258,6 +263,7 @@ def open_proof(
             F.pack_mont([u], shape=(1,)),
             F.pack_mont([u_inv], shape=(1,)),
         )
+        checkpoint("ipa_fold")
 
     a0 = F.unpack_mont(a)[0]
     b0 = F.unpack_mont(b)[0]

@@ -50,7 +50,7 @@ def test_add_double_mixed(curve):
 @pytest.mark.parametrize("curve", [Vesta], ids=lambda c: c.name)
 def test_sum_points(curve):
     rng = random.Random(21)
-    n = 11  # non-power-of-two exercises padding
+    n = 3  # non-power-of-two exercises padding (small: XLA compile cost)
     ps = rand_points(curve, n, rng)
     dc = device_curve(curve)
     P = dc.to_jacobian(dc.pack_affine(ps))
