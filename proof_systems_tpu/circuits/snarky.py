@@ -1,0 +1,271 @@
+"""Snarky-style circuit-writing DSL.
+
+Capability mirror of kimchi/src/snarky/{runner,constraint_system}.rs:
+a monadic-feel circuit writer where field variables are symbolic linear
+combinations, `exists` allocates witness values, and assertions compile
+to double-generic PLONK rows with copy-constraint wiring
+(constraint_system.rs add_constraint:1304, compute_witness:416).
+
+Differences by design (pythonic, TPU-first): no OCaml FFI surface, no
+lazy As_prover closures — the runner executes in "prover mode" carrying
+concrete values alongside the symbolic circuit, so one pass yields both
+the gate list and the witness columns (the reference runs checked /
+witness-generation as separate passes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Dict, List, Optional, Tuple
+
+from ..fields import FieldParams
+from .builders import GENERIC_COEFFS
+from .gate import COLUMNS, CircuitGate, GateType, Wire, new_wires
+
+
+class FieldVar:
+    """A symbolic linear combination  sum coeff_i * v_i + const."""
+
+    __slots__ = ("rs", "terms", "const")
+
+    def __init__(self, rs: "Runner", terms: Dict[int, int], const: int = 0):
+        self.rs = rs
+        p = rs.p
+        self.terms = {v: c % p for v, c in terms.items() if c % p}
+        self.const = const % p
+
+    # -- linear ops are free -----------------------------------------------
+
+    def _lift(self, other) -> "FieldVar":
+        if isinstance(other, FieldVar):
+            return other
+        return FieldVar(self.rs, {}, other)
+
+    def __add__(self, other) -> "FieldVar":
+        o = self._lift(other)
+        t = dict(self.terms)
+        for v, c in o.terms.items():
+            t[v] = t.get(v, 0) + c
+        return FieldVar(self.rs, t, self.const + o.const)
+
+    __radd__ = __add__
+
+    def __neg__(self) -> "FieldVar":
+        return self.scale(-1)
+
+    def __sub__(self, other) -> "FieldVar":
+        return self + (-self._lift(other))
+
+    def __rsub__(self, other) -> "FieldVar":
+        return self._lift(other) - self
+
+    def scale(self, k: int) -> "FieldVar":
+        return FieldVar(
+            self.rs, {v: c * k for v, c in self.terms.items()}, self.const * k
+        )
+
+    def __mul__(self, other) -> "FieldVar":
+        """Multiplication allocates a product variable + one R1CS row
+        (runner.rs mul) unless one side is constant."""
+        o = self._lift(other)
+        if not o.terms:
+            return self.scale(o.const)
+        if not self.terms:
+            return o.scale(self.const)
+        return self.rs.mul(self, o)
+
+    __rmul__ = __mul__
+
+    def value(self) -> int:
+        rs = self.rs
+        acc = self.const
+        for v, c in self.terms.items():
+            acc += c * rs.values[v]
+        return acc % rs.p
+
+
+@dataclass
+class _Position:
+    row: int
+    col: int
+
+
+class Runner:
+    """RunState (runner.rs:53): allocates variables, accumulates gates,
+    tracks copy positions, and (in prover mode) concrete values."""
+
+    def __init__(self, f: FieldParams, public: int = 0):
+        self.f = f
+        self.p = f.p
+        self.values: List[int] = []
+        self.gates: List[CircuitGate] = []
+        self.rows: List[List[Optional[int]]] = []  # per row: var id per column
+        self.positions: Dict[int, List[_Position]] = {}
+        self.public = public
+        self.public_vars = [self._alloc(0) for _ in range(public)]
+        for v in self.public_vars:
+            self._public_row(v)
+        self.finalized = False
+
+    # -- allocation --------------------------------------------------------
+
+    def _alloc(self, value: int) -> int:
+        self.values.append(value % self.p)
+        return len(self.values) - 1
+
+    def exists(self, compute: Callable[[], int] | int) -> FieldVar:
+        """Allocate a witness variable (runner.rs compute/exists)."""
+        value = compute() if callable(compute) else compute
+        v = self._alloc(value)
+        return FieldVar(self, {v: 1})
+
+    def constant(self, c: int) -> FieldVar:
+        return FieldVar(self, {}, c)
+
+    def set_public(self, i: int, value: int) -> FieldVar:
+        self.values[self.public_vars[i]] = value % self.p
+        return FieldVar(self, {self.public_vars[i]: 1})
+
+    # -- gate emission -----------------------------------------------------
+
+    def _public_row(self, v: int) -> None:
+        row = len(self.gates)
+        self.gates.append(
+            CircuitGate(GateType.Generic, new_wires(row), [1, 0, 0, 0, 0])
+        )
+        self.rows.append([v] + [None] * (COLUMNS - 1))
+        self.positions.setdefault(v, []).append(_Position(row, 0))
+
+    def _generic_row(
+        self, cells: List[Optional[int]], coeffs: List[int]
+    ) -> int:
+        """Emit one generic row; cells are var ids for cols 0..2 (and
+        3..5 for the second half when 10 coeffs are given)."""
+        row = len(self.gates)
+        self.gates.append(
+            CircuitGate(
+                GateType.Generic, new_wires(row), [c % self.p for c in coeffs]
+            )
+        )
+        filled = list(cells) + [None] * (COLUMNS - len(cells))
+        self.rows.append(filled)
+        for colno, v in enumerate(filled):
+            if v is not None:
+                self.positions.setdefault(v, []).append(_Position(row, colno))
+        return row
+
+    # -- reduction (constraint_system.rs reduce_lincom) --------------------
+
+    def _single(self, x: FieldVar) -> Tuple[int, int, int]:
+        """Reduce to (coeff, var, const) with exactly one variable,
+        emitting internal-variable rows for longer combinations."""
+        terms = [(v, c) for v, c in x.terms.items()]
+        if not terms:
+            # constant: bind to a fresh var constrained to the constant
+            v = self._alloc(x.const)
+            self._generic_row([v], [1, 0, 0, 0, -x.const])
+            return 1, v, 0
+        if len(terms) == 1:
+            (v, c) = terms[0]
+            return c, v, x.const
+        # fold two terms at a time into internal variables:
+        # w = c1 v1 + c2 v2 (+ const on the first fold)
+        (v1, c1) = terms[0]
+        const = x.const
+        for (v2, c2) in terms[1:]:
+            wval = (c1 * self.values[v1] + c2 * self.values[v2] + const) % self.p
+            w = self._alloc(wval)
+            self._generic_row([v1, v2, w], [c1, c2, -1, 0, const])
+            v1, c1, const = w, 1, 0
+        return c1, v1, 0
+
+    # -- constraints (BasicSnarkyConstraint, constraint_system.rs:175) -----
+
+    def assert_r1cs(self, a: FieldVar, b: FieldVar, c: FieldVar) -> None:
+        """(a)(b) = c as one generic row (runner.rs:347)."""
+        ca, va, pa = self._single(a)
+        cb, vb, pb = self._single(b)
+        cc, vc, pc = self._single(c)
+        self._generic_row(
+            [va, vb, vc],
+            [ca * pb, pa * cb, -cc, ca * cb, pa * pb - pc],
+        )
+
+    def assert_eq(self, x: FieldVar, y: FieldVar) -> None:
+        cx, vx, px = self._single(x)
+        cy, vy, py = self._single(y)
+        self._generic_row([vx, vy], [cx, -cy, 0, 0, px - py])
+
+    def assert_square(self, x: FieldVar, y: FieldVar) -> None:
+        cx, vx, px = self._single(x)
+        cy, vy, py = self._single(y)
+        # (cx vx + px)^2 = cy vy + py
+        self._generic_row(
+            [vx, vx, vy],
+            [2 * cx * px, 0, -cy, cx * cx, px * px - py],
+        )
+
+    def assert_boolean(self, x: FieldVar) -> None:
+        cx, vx, px = self._single(x)
+        # (cx vx + px)^2 - (cx vx + px) = 0
+        self._generic_row(
+            [vx, vx],
+            [2 * cx * px - cx, 0, 0, cx * cx, px * px - px],
+        )
+
+    # -- derived operations ------------------------------------------------
+
+    def mul(self, a: FieldVar, b: FieldVar) -> FieldVar:
+        out = self.exists(lambda: a.value() * b.value())
+        self.assert_r1cs(a, b, out)
+        return out
+
+    def square(self, x: FieldVar) -> FieldVar:
+        out = self.exists(lambda: x.value() * x.value())
+        self.assert_square(x, out)
+        return out
+
+    def inv(self, x: FieldVar) -> FieldVar:
+        out = self.exists(lambda: pow(x.value(), -1, self.p))
+        self.assert_r1cs(x, out, self.constant(1))
+        return out
+
+    def div(self, a: FieldVar, b: FieldVar) -> FieldVar:
+        out = self.exists(lambda: a.value() * pow(b.value(), -1, self.p))
+        self.assert_r1cs(b, out, a)
+        return out
+
+    def if_(self, b: FieldVar, then: FieldVar, else_: FieldVar) -> FieldVar:
+        """b * then + (1-b) * else_  (b must be boolean-constrained)."""
+        return self.mul(b, then - else_) + else_
+
+    # -- finalization ------------------------------------------------------
+
+    def finalize(self) -> Tuple[List[CircuitGate], List[List[int]]]:
+        """Wire copy cycles and build witness columns
+        (constraint_system.rs finalize + compute_witness:416)."""
+        assert not self.finalized
+        self.finalized = True
+        from .gate import PERMUTS
+
+        # copy cycles over permuted columns only
+        for v, positions in self.positions.items():
+            cyc = [pos for pos in positions if pos.col < PERMUTS]
+            if len(cyc) <= 1:
+                continue
+            for i, pos in enumerate(cyc):
+                nxt = cyc[(i + 1) % len(cyc)]
+                ws = list(self.gates[pos.row].wires)
+                ws[pos.col] = Wire(nxt.row, nxt.col)
+                self.gates[pos.row].wires = tuple(ws)
+
+        nrows = len(self.rows)
+        witness = [[0] * nrows for _ in range(COLUMNS)]
+        for r, rowvars in enumerate(self.rows):
+            for colno, v in enumerate(rowvars):
+                if v is not None:
+                    witness[colno][r] = self.values[v]
+        return self.gates, witness
+
+    def public_values(self) -> List[int]:
+        return [self.values[v] for v in self.public_vars]
