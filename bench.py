@@ -47,8 +47,13 @@ def main() -> int:
     rng = SystemRng()
 
     # warmup: one proof to trigger all compilation
+    print(f"[bench] setup done, warmup proof (2^{k}) ...", file=sys.stderr, flush=True)
+    tw = time.time()
     proof = create_proof(index, witness, rng)
+    print(f"[bench] warmup proof: {time.time()-tw:.1f}s; verifying ...", file=sys.stderr, flush=True)
+    tw = time.time()
     assert verify(index.verifier_index(), proof, [], rng), "benchmark proof failed to verify"
+    print(f"[bench] verify: {time.time()-tw:.1f}s; timing steady-state proof", file=sys.stderr, flush=True)
 
     t0 = time.time()
     proof = create_proof(index, witness, rng)

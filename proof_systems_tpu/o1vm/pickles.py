@@ -60,16 +60,23 @@ class ColumnProof:
 
 
 def prove_columns(
-    domain, srs, curve: CurveParams, columns_evals: jnp.ndarray, constraints, rng
+    domain, srs, curve: CurveParams, columns_evals: jnp.ndarray, constraints, rng,
+    make_beta_columns=None,
 ) -> ColumnProof:
-    """columns_evals: (16, C, n) Montgomery evaluations over d1."""
+    """columns_evals: (16, C, n) Montgomery evaluations over d1.
+
+    Two-phase flow (o1vm/src/pickles/lookup_prover.rs capability): when
+    `make_beta_columns` is given, the phase-1 columns above are committed
+    and absorbed first, a beta challenge is squeezed (endo-expanded), and
+    `make_beta_columns(beta) -> (16, C2, n)` supplies challenge-dependent
+    columns (e.g. the LogUp aggregator phi). Constraints may then
+    reference Challenge("beta")."""
     f = curve.scalar
     p = f.p
     F = limb.device_field(f)
     d1 = domain.d1
     d8 = domain.d8
     n = d1.n
-    ncols = columns_evals.shape[1]
     _, endo_r = curve.endos
 
     coeffs = d1.intt(columns_evals)  # (16, C, n)
@@ -79,6 +86,19 @@ def prove_columns(
     fq_sponge = sponge_for(curve)
     for c in comms:
         fq_sponge.absorb_g(c.chunks)
+
+    beta = 0
+    if make_beta_columns is not None:
+        beta = fq_sponge.challenge().to_field(endo_r, f)
+        extra_evals = make_beta_columns(beta)
+        extra_coeffs = d1.intt(extra_evals)
+        extra_nh = srs.commit_coeffs_dev(extra_coeffs, 1)
+        extra_comms = [srs.mask(c, [1]) for c in extra_nh]
+        for c in extra_comms:
+            fq_sponge.absorb_g(c.chunks)
+        coeffs = jnp.concatenate([coeffs, extra_coeffs], axis=1)
+        comms = comms + extra_comms
+    ncols = coeffs.shape[1]
 
     alpha = fq_sponge.challenge().value  # RAW 128-bit (prover.rs:230)
 
@@ -90,7 +110,7 @@ def prove_columns(
     ctx = expr_mod.DeviceEvalContext(
         F=F,
         columns=columns,
-        challenges={"alpha": alpha, "beta": 0, "gamma": 0, "joint_combiner": 0},
+        challenges={"alpha": alpha, "beta": beta, "gamma": 0, "joint_combiner": 0},
         endo=endo_r,
         mds=[],
         domain_n=n,
@@ -151,7 +171,12 @@ def prove_columns(
     )
 
 
-def verify_columns(domain, srs, curve: CurveParams, constraints, proof: ColumnProof, rng) -> bool:
+def verify_columns(
+    domain, srs, curve: CurveParams, constraints, proof: ColumnProof, rng,
+    num_beta_columns: int = 0,
+) -> bool:
+    """`num_beta_columns`: trailing commitments that were committed AFTER
+    the beta squeeze (two-phase flow; 0 = single-phase)."""
     f = curve.scalar
     p = f.p
     d1 = domain.d1
@@ -159,8 +184,14 @@ def verify_columns(domain, srs, curve: CurveParams, constraints, proof: ColumnPr
     _, endo_r = curve.endos
 
     fq_sponge = sponge_for(curve)
-    for c in proof.commitments:
+    beta = 0
+    n1 = len(proof.commitments) - num_beta_columns
+    for c in proof.commitments[:n1]:
         fq_sponge.absorb_g(c.chunks)
+    if num_beta_columns:
+        beta = fq_sponge.challenge().to_field(endo_r, f)
+        for c in proof.commitments[n1:]:
+            fq_sponge.absorb_g(c.chunks)
     alpha = fq_sponge.challenge().value
     fq_sponge.absorb_g(proof.quotient_commitment.chunks)
     zeta = fq_sponge.challenge().to_field(endo_r, f)
@@ -190,7 +221,7 @@ def verify_columns(domain, srs, curve: CurveParams, constraints, proof: ColumnPr
     ctx = expr_mod.HostEvalContext(
         f=f,
         get_cell=get_cell,
-        challenges={"alpha": alpha, "beta": 0, "gamma": 0, "joint_combiner": 0},
+        challenges={"alpha": alpha, "beta": beta, "gamma": 0, "joint_combiner": 0},
         endo=endo_r,
         mds=[],
         point=zeta,

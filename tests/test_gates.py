@@ -203,3 +203,68 @@ def test_rot64_witness_checker():
     rotated = ow.rot64_witness(witness, 0, word, rot)
     assert rotated == ((word << rot) | (word >> (64 - rot))) & ((1 << 64) - 1)
     check_witness(cs, witness, MDS)
+
+
+SECP_P = (1 << 256) - (1 << 32) - 977
+
+
+def test_ffadd_witness_and_prove():
+    from proof_systems_tpu.circuits.polynomials import optional_witness as ow
+    from proof_systems_tpu.poly_commitment import srs as srs_mod
+    from proof_systems_tpu.prover import create_proof
+    from proof_systems_tpu.prover_index import ProverIndex
+    from proof_systems_tpu.utils import TestRng
+    from proof_systems_tpu.verifier import verify
+
+    rng = random.Random(40)
+    signs = [1, -1]
+    inputs = [rng.randrange(SECP_P) for _ in range(3)]
+    gates = ow.create_ffadd_gadget(0, Fp, SECP_P, signs)
+    cs = ConstraintSystem.create(Fp, gates, public=0, max_poly_size=1 << 13)
+    n = cs.domain.d1.n
+    witness = [[0] * n for _ in range(15)]
+    res, bound = ow.ffadd_witness(witness, 0, inputs, signs, SECP_P, Fp.p)
+    assert res == (inputs[0] + inputs[1] - inputs[2]) % SECP_P
+    assert bound == res + (1 << 264) - SECP_P
+    check_witness(cs, witness, MDS)
+    srs = srs_mod.SRS(
+        Vesta, [srs_mod.derive_g(Vesta, i) for i in range(n)], srs_mod.derive_h(Vesta)
+    )
+    index = ProverIndex(cs, Vesta, srs)
+    trimmed = [col[: n - cs.zk_rows] for col in witness]
+    proof = create_proof(index, trimmed, TestRng(41))
+    assert verify(index.verifier_index(), proof, [], TestRng(42))
+
+
+def test_ffmul_witness_checker():
+    from proof_systems_tpu.circuits.polynomials import optional_witness as ow
+
+    rng = random.Random(43)
+    a = rng.randrange(SECP_P)
+    b = rng.randrange(SECP_P)
+    gates = ow.create_ffmul_gadget(0, Fp, SECP_P)
+    cs = ConstraintSystem.create(Fp, gates, public=0, max_poly_size=1 << 13)
+    n = cs.domain.d1.n
+    witness = [[0] * n for _ in range(15)]
+    q, r = ow.ffmul_witness(witness, 0, a, b, SECP_P, Fp.p)
+    assert (a * b) % SECP_P == r and a * b == q * SECP_P + r
+    check_witness(cs, witness, MDS)
+
+
+def test_and_not_witness_checker():
+    from proof_systems_tpu.circuits.polynomials import optional_witness as ow
+
+    rng = random.Random(44)
+    a, b = rng.randrange(1 << 64), rng.randrange(1 << 64)
+    gates = ow.create_and_gadget(0, Fp, 64)
+    nrow = len(gates)
+    gates += ow.create_not_gadget(nrow, Fp, 3, 64)
+    cs = ConstraintSystem.create(Fp, gates, public=0, max_poly_size=1 << 13)
+    n = cs.domain.d1.n
+    witness = [[0] * n for _ in range(15)]
+    got = ow.and_witness(witness, 0, a, b, 64)
+    assert got == a & b
+    vals = [rng.randrange(1 << 64) for _ in range(3)]
+    nots = ow.not_witness(witness, nrow, vals, 64)
+    assert nots == [((1 << 64) - 1) ^ v for v in vals]
+    check_witness(cs, witness, MDS)
