@@ -31,8 +31,21 @@ def full_round(params: PoseidonParams, state: list[int], r: int) -> None:
 
 
 def poseidon_block_cipher(params: PoseidonParams, state: list[int]) -> None:
-    """In-place permutation of a width-3 state."""
+    """In-place permutation of a width-3 state. Uses the native C++
+    kernel (proof_systems_tpu/native) when available; this Python body
+    is the exact golden model (parity: tests/test_native.py)."""
     assert len(state) == params.sponge_width
+    from ..native import native_poseidon
+
+    nat = native_poseidon(params)
+    if nat is not None:
+        state[:] = nat.permute(state)
+        return
+    poseidon_block_cipher_py(params, state)
+
+
+def poseidon_block_cipher_py(params: PoseidonParams, state: list[int]) -> None:
+    """Pure-Python golden model of the permutation."""
     if params.initial_ark:
         rc = params.round_constants[0]
         for i in range(3):
