@@ -26,11 +26,13 @@ Package layout:
 __version__ = "0.1.0"
 
 
-def prove(index, witness, rng, prev_challenges=()):
+def prove(index, witness, rng, prev_challenges=(), runtime_tables=None):
     """Create a kimchi proof (see prover.create_proof)."""
     from .prover import create_proof
 
-    return create_proof(index, witness, rng, prev_challenges)
+    return create_proof(
+        index, witness, rng, prev_challenges, runtime_tables=runtime_tables
+    )
 
 
 def verify(vk, proof, public_input, rng):

@@ -75,11 +75,12 @@ class ConstraintSystem:
         public: int = 0,
         max_poly_size: int | None = None,
         fixed_lookup_tables: "list[LookupTable] | None" = None,
+        runtime_tables=None,
     ) -> "ConstraintSystem":
         assert gates, "empty gate list"
         # lookup table length drives the domain fixpoint (constraints.rs:940-960)
         lookup_domain_size = 0
-        info = LookupInfo.from_gates(gates)
+        info = LookupInfo.from_gates(gates, uses_runtime_tables=runtime_tables is not None)
         if info is not None or fixed_lookup_tables:
             seen = set()
             total = 0
@@ -95,6 +96,8 @@ class ConstraintSystem:
                         seen.add(t.id)
                         total += len(t)
                         has_id_0 |= t.id == 0
+            for rt in runtime_tables or []:
+                total += len(rt)
             lookup_domain_size = total if has_id_0 else total + 1
 
         circuit_lower_bound = max(len(gates), lookup_domain_size + 1)
@@ -170,7 +173,7 @@ class ConstraintSystem:
         ]
 
         lookup_cs = LookupConstraintSystem.create(
-            f, gates, n, zk_rows, fixed_lookup_tables
+            f, gates, n, zk_rows, fixed_lookup_tables, runtime_tables
         ) if (info is not None or fixed_lookup_tables) else None
 
         return cls(

@@ -235,12 +235,28 @@ COL_LOOKUP_RUNTIME_TABLE = ("lookup_runtime_table",)
 
 
 @dataclass
+class RuntimeTableCfg:
+    """Setup-time runtime table configuration: the id and the FIXED first
+    (index) column; the second column is supplied at prove time
+    (lookup/runtime_tables.rs:25)."""
+
+    id: int
+    first_column: list[int]
+
+    def __len__(self) -> int:
+        return len(self.first_column)
+
+
+@dataclass
 class LookupConstraintSystem:
     info: LookupInfo
     lookup_table: list[list[int]]  # concatenated columns, padded to n
     table_ids: Optional[list[int]]  # None when all ids are zero
     selectors_d1: dict[LookupPattern, list[int]]
     dummy_entry: JointLookup  # empty entry, table 0
+    runtime_tables_spec: Optional[list[tuple[int, int]]] = None  # (id, len)
+    runtime_table_offset: Optional[int] = None
+    runtime_selector_d1: Optional[list[int]] = None
 
     @classmethod
     def create(
@@ -250,8 +266,9 @@ class LookupConstraintSystem:
         n: int,
         zk_rows: int,
         fixed_tables: list[LookupTable] | None = None,
+        runtime_tables: list[RuntimeTableCfg] | None = None,
     ) -> Optional["LookupConstraintSystem"]:
-        info = LookupInfo.from_gates(gates)
+        info = LookupInfo.from_gates(gates, uses_runtime_tables=runtime_tables is not None)
         if info is None:
             return None
         max_entries = n - zk_rows - 1
@@ -273,6 +290,29 @@ class LookupConstraintSystem:
             if all(t.id != tid for t in tables):
                 tables.append(gate_tables[tid])
         # reference orders gate tables by BTreeSet of the enum (Xor < RangeCheck)
+
+        # runtime tables: placeholder fixed tables (first column + zero
+        # column), offset + selector (index.rs:260-330)
+        runtime_spec = None
+        runtime_offset = None
+        runtime_selector = None
+        if runtime_tables is not None:
+            ids = [rt.id for rt in runtime_tables]
+            if len(set(ids)) != len(ids):
+                raise ValueError("runtime table duplicates")
+            runtime_offset = sum(len(t) for t in tables)
+            runtime_len = sum(len(rt) for rt in runtime_tables)
+            runtime_selector = (
+                [1] * runtime_offset
+                + [0] * runtime_len
+                + [1] * (n - runtime_offset - runtime_len)
+            )
+            for i in range(n - zk_rows, n):
+                runtime_selector[i] = 0
+            runtime_spec = [(rt.id, len(rt)) for rt in runtime_tables]
+            for rt in runtime_tables:
+                placeholder = [0] * len(rt)
+                tables.append(LookupTable(rt.id, [list(rt.first_column), placeholder]))
         total_len = sum(len(t) for t in tables)
         # >= leaves room for the dummy zero row (index.rs:428-434)
         if total_len >= max_entries:
@@ -307,6 +347,9 @@ class LookupConstraintSystem:
             table_ids=table_ids if non_zero_id else None,
             selectors_d1=selectors,
             dummy_entry=JointLookup(table_id=("constant", 0), entry=[]),
+            runtime_tables_spec=runtime_spec,
+            runtime_table_offset=runtime_offset,
+            runtime_selector_d1=runtime_selector,
         )
 
 
@@ -316,18 +359,26 @@ class LookupConstraintSystem:
 
 
 def combined_table_d1(
-    lcs: LookupConstraintSystem, f: FieldParams, joint: int, table_id_comb: int
+    lcs: LookupConstraintSystem,
+    f: FieldParams,
+    joint: int,
+    table_id_comb: int,
+    runtime_d1: list[int] | None = None,
 ) -> list[int]:
     """Per-row combined table entries t_i (on d1; the reference combines on
-    d8 but only strides 8, prover.rs:505-530)."""
+    d8 but only strides 8, prover.rs:505-530). `runtime_d1` is the prover's
+    runtime contribution added to the SECOND column (prover.rs:438-450)."""
     p = f.p
     n = len(lcs.lookup_table[0])
     out = []
     for i in range(n):
         acc = 0
         jpow = 1
-        for col in lcs.lookup_table:
-            acc = (acc + jpow * col[i]) % p
+        for ci, col in enumerate(lcs.lookup_table):
+            v = col[i]
+            if ci == 1 and runtime_d1 is not None:
+                v = (v + runtime_d1[i]) % p
+            acc = (acc + jpow * v) % p
             jpow = jpow * joint % p
         if lcs.table_ids is not None:
             acc = (acc + table_id_comb * lcs.table_ids[i]) % p
@@ -540,4 +591,11 @@ def constraints(lcs: LookupConstraintSystem, f: FieldParams) -> list[Expr]:
             basis * (Cell(col_lookup_sorted(i), CURR) - Cell(col_lookup_sorted(i + 1), CURR))
         )
     res.extend(Literal(0) for _ in range(info.max_per_row, 4))
+    if lcs.runtime_selector_d1 is not None:
+        # runtime tables: rt * selector_RT = 0 (runtime_tables.rs:69-83,
+        # appended after the fixed-position padding, constraints.rs:654)
+        res.append(
+            Cell(COL_LOOKUP_RUNTIME_TABLE, CURR)
+            * Cell(COL_LOOKUP_RUNTIME_SELECTOR, CURR)
+        )
     return res

@@ -110,6 +110,16 @@ def _quotient_fn(index: ProverIndex):
                     F, jt_coeff, limb.mont_mul(F, ld["ids_coeff"], chal["tid_comb"])
                 )
                 jt8 = limb.add(F, jt8, limb.mont_mul(F, ld["ids8"], chal["tid_comb"]))
+            if lookup_in.get("runtime_coeffs") is not None:
+                rt8 = to_d8(lookup_in["runtime_coeffs"][:, None, :])[:, 0]
+                jt_coeff = limb.add(
+                    F,
+                    jt_coeff,
+                    limb.mont_mul(F, lookup_in["runtime_coeffs"], chal["joint_combiner"]),
+                )
+                jt8 = limb.add(F, jt8, limb.mont_mul(F, rt8, chal["joint_combiner"]))
+                columns[lookup_mod.COL_LOOKUP_RUNTIME_TABLE] = rt8
+                columns[lookup_mod.COL_LOOKUP_RUNTIME_SELECTOR] = ld["runtime_sel8"]
             sorted8 = to_d8(lookup_in["sorted_coeffs"])
             aggreg8 = to_d8(lookup_in["aggreg_coeffs"][:, None, :])[:, 0]
             for i in range(sorted8.shape[1]):
@@ -226,6 +236,7 @@ def create_proof(
     rng,
     prev_challenges=(),
     debug: dict | None = None,
+    runtime_tables=None,
 ) -> ProverProof:
     cs = index.cs
     f = cs.f
@@ -283,7 +294,33 @@ def create_proof(
     lcs = cs.lookup_cs
     lookup_ctx = {}
     if lcs is not None:
-        # (runtime tables not wired yet)
+        # runtime tables: the id/length layout must match the setup; the
+        # contribution vector is committed + absorbed BEFORE the joint
+        # combiner squeeze (prover.rs:383-450)
+        runtime_d1 = None
+        if lcs.runtime_tables_spec is not None:
+            given = [(rt[0], len(rt[1])) for rt in (runtime_tables or [])]
+            if given != lcs.runtime_tables_spec:
+                raise ValueError("runtime tables inconsistent with configuration")
+            runtime_d1 = [0] * n
+            off = lcs.runtime_table_offset
+            for _tid, data in runtime_tables:
+                runtime_d1[off : off + len(data)] = [v % p for v in data]
+                off += len(data)
+            for i in range(n - zk, n):
+                runtime_d1[i] = rng.field(p)
+            runtime_dev = F.pack_mont(runtime_d1, shape=(1, n))
+            runtime_coeffs = d1.intt(runtime_dev)[:, 0]
+            runtime_comm_nh = index.srs.commit_coeffs_dev(
+                runtime_coeffs[:, None, :], nc
+            )[0]
+            runtime_blinder = [rng.field(p) for _ in range(nc)]
+            runtime_comm = index.srs.mask(runtime_comm_nh, runtime_blinder)
+            fq_sponge.absorb_g(runtime_comm.chunks)
+            lookup_ctx.update(
+                runtime_d1=runtime_d1, runtime_coeffs=runtime_coeffs,
+                runtime_comm=runtime_comm, runtime_blinder=runtime_blinder,
+            )
         jc_pre = fq_sponge.challenge().value if lcs.info.joint_lookup_used else 0
         from .poseidon.sponge import ScalarChallenge
 
@@ -292,7 +329,7 @@ def create_proof(
             pow(joint, lcs.info.max_joint_size, p) if lcs.table_ids is not None else 0
         )
         dummy_value = lcs.dummy_entry.evaluate(p, joint, tid_comb, lambda pos: 0)
-        table_d1 = lookup_mod.combined_table_d1(lcs, f, joint, tid_comb)
+        table_d1 = lookup_mod.combined_table_d1(lcs, f, joint, tid_comb, runtime_d1)
         sorted_cols = lookup_mod.sorted_multiset(
             lcs, f, cs.gates, witness, joint, tid_comb, table_d1, zk
         )
@@ -414,6 +451,7 @@ def create_proof(
         lookup_in = {
             "sorted_coeffs": lookup_ctx["sorted_coeffs"],
             "aggreg_coeffs": lookup_ctx["aggreg_coeffs"],
+            "runtime_coeffs": lookup_ctx.get("runtime_coeffs"),
         }
     checkpoint("compute_quotient_poly")
     quotient, _rem, jt_coeff, r1_dev, r2_dev = _quotient_fn(index)(
@@ -469,6 +507,10 @@ def create_proof(
         # (lookup columns follow the optional selectors in the stack)
         lk_stack.append(lookup_ctx["aggreg_coeffs"])
         lk_stack.append(lookup_ctx["jt_coeff"])
+        has_runtime = "runtime_coeffs" in lookup_ctx
+        if has_runtime:
+            lk_stack.append(lookup_ctx["runtime_coeffs"])
+            lk_stack.append(ld["runtime_sel_coeff"])
         lk_pats = list(lcs.info.patterns)
         lk_stack += [ld["sel_coeff"][pat] for pat in lk_pats]
         stack = jnp.concatenate([stack, jnp.stack(lk_stack, axis=1)], axis=1)
@@ -512,6 +554,10 @@ def create_proof(
         evals.lookup_aggregation = pe(44 + n_opt + ns)
         evals.lookup_table = pe(45 + n_opt + ns)
         base = 46 + n_opt + ns
+        if has_runtime:
+            evals.runtime_lookup_table = pe(base)
+            evals.runtime_lookup_table_selector = pe(base + 1)
+            base += 2
         from .circuits.lookup import LookupPattern
 
         sel_evals = {pat: pe(base + i) for i, pat in enumerate(lk_pats)}
@@ -627,7 +673,17 @@ def create_proof(
             for _ in range(1, width):
                 fb = (1 + lookup_ctx["joint"] * fb) % p
         base_blinding = (fb + lookup_ctx["tid_comb"]) % p
-        plnms.append((lookup_ctx["jt_coeff"], [base_blinding] * nc))
+        if "runtime_coeffs" in lookup_ctx:
+            # table blinder gains j * runtime blinder (prover.rs:1369-1382)
+            jt_blinders = [
+                (lookup_ctx["joint"] * rb + base_blinding) % p
+                for rb in lookup_ctx["runtime_blinder"]
+            ]
+            plnms.append((lookup_ctx["jt_coeff"], jt_blinders))
+            plnms.append((lookup_ctx["runtime_coeffs"], lookup_ctx["runtime_blinder"]))
+            plnms.append((ld["runtime_sel_coeff"], [0]))
+        else:
+            plnms.append((lookup_ctx["jt_coeff"], [base_blinding] * nc))
         for pat in list(lcs.info.patterns):
             plnms.append((ld["sel_coeff"][pat], [0]))
 
@@ -651,7 +707,7 @@ def create_proof(
         lookup_comms = LookupCommitments(
             sorted=lookup_ctx["sorted_comms"],
             aggreg=lookup_ctx["aggreg_comm"],
-            runtime=None,
+            runtime=lookup_ctx.get("runtime_comm"),
         )
     return ProverProof(
         commitments=ProverCommitments(

@@ -170,6 +170,9 @@ class ProverIndex:
             cols = cols + [lcs.table_ids]
         sel_pats = list(lcs.info.patterns)
         cols = cols + [lcs.selectors_d1[pat] for pat in sel_pats]
+        has_runtime = lcs.runtime_selector_d1 is not None
+        if has_runtime:
+            cols = cols + [lcs.runtime_selector_d1]
         arr = F.pack_mont([v for col in cols for v in col], shape=(len(cols), n))
         coeffs = d1.intt(arr)
         padded = jnp.concatenate(
@@ -187,6 +190,8 @@ class ProverIndex:
             "ids8": evals8[:, w] if has_ids else None,
             "sel_coeff": {pat: coeffs[:, off + i] for i, pat in enumerate(sel_pats)},
             "sel8": {pat: evals8[:, off + i] for i, pat in enumerate(sel_pats)},
+            "runtime_sel_coeff": coeffs[:, off + len(sel_pats)] if has_runtime else None,
+            "runtime_sel8": evals8[:, off + len(sel_pats)] if has_runtime else None,
         }
 
     # -- verifier index ----------------------------------------------------
@@ -228,6 +233,8 @@ class ProverIndex:
                     stack.append(ld["ids_coeff"])
                 sel_pats = list(lcs.info.patterns)
                 stack += [ld["sel_coeff"][pat] for pat in sel_pats]
+                if ld["runtime_sel_coeff"] is not None:
+                    stack.append(ld["runtime_sel_coeff"])
                 lcomms = self.srs.commit_coeffs_dev(
                     jnp.stack(stack, axis=1), self.num_chunks
                 )
@@ -240,6 +247,9 @@ class ProverIndex:
                     ids_comm = self.srs.mask(lcomms[idx], ones)
                     idx += 1
                 sel_comms = {pat: lcomms[idx + i] for i, pat in enumerate(sel_pats)}
+                runtime_sel_comm = None
+                if ld["runtime_sel_coeff"] is not None:
+                    runtime_sel_comm = lcomms[idx + len(sel_pats)]
                 from .verifier_index import LookupVerifierIndex
 
                 lookup_vk = LookupVerifierIndex(
@@ -248,7 +258,7 @@ class ProverIndex:
                     lookup_table=table_comms,
                     table_ids=ids_comm,
                     lookup_selectors=sel_comms,
-                    runtime_tables_selector=None,
+                    runtime_tables_selector=runtime_sel_comm,
                 )
             self._verifier_index = VerifierIndex(
                 curve=self.curve,

@@ -185,6 +185,10 @@ def oracles(
             pt = evals.lookup_aggregation
         elif col == ("lookup_table",):
             pt = evals.lookup_table
+        elif col == ("lookup_runtime_table",):
+            pt = evals.runtime_lookup_table
+        elif col == ("lookup_runtime_selector",):
+            pt = evals.runtime_lookup_table_selector
         elif col[0] == "lookup_sorted":
             pt = evals.lookup_sorted[col[1]]
         elif col[0] == "lookup_kind":
@@ -365,13 +369,23 @@ def to_batch(vk: VerifierIndex, proof: ProverProof, public_input: list[int]) -> 
         )
         comb = None
         jpow = 1
-        for c in li.lookup_table:
+        for ci, c in enumerate(li.lookup_table):
             term = poly_comm_scale(curve, c, jpow)
+            if ci == 1 and lk.runtime is not None:
+                # runtime contribution lives in the second column
+                term = poly_comm_add(
+                    curve, term, poly_comm_scale(curve, lk.runtime, joint)
+                )
             comb = term if comb is None else poly_comm_add(curve, comb, term)
             jpow = jpow * joint % p
         if li.table_ids is not None:
             comb = poly_comm_add(curve, comb, poly_comm_scale(curve, li.table_ids, tid_comb))
         cols.append((comb, proof.evals.lookup_table))
+        if li.runtime_tables_selector is not None:
+            cols.append((lk.runtime, proof.evals.runtime_lookup_table))
+            cols.append(
+                (li.runtime_tables_selector, proof.evals.runtime_lookup_table_selector)
+            )
         from .circuits.lookup import LookupPattern
 
         for pat, ev in [
