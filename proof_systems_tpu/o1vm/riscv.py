@@ -256,3 +256,56 @@ def prove_execution(domain, srs, curve, program: list[Instr], n: int, rng, regs0
     cons = constraints(f)
     proof = prove_columns(domain, srs, curve, dev, cons, rng)
     return proof, cons, rows
+
+
+def decode(word: int) -> Instr:
+    """Decode a 32-bit RV32IM instruction word into the supported subset
+    (o1vm/src/interpreters/riscv32im/interpreter.rs decode capability)."""
+    opcode = word & 0x7F
+    rd = (word >> 7) & 31
+    funct3 = (word >> 12) & 7
+    rs1 = (word >> 15) & 31
+    rs2 = (word >> 20) & 31
+    funct7 = (word >> 25) & 0x7F
+
+    def sext(v, bits):
+        return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+    imm_i = sext(word >> 20, 12)
+    imm_b = sext(
+        ((word >> 31) << 12)
+        | (((word >> 7) & 1) << 11)
+        | (((word >> 25) & 0x3F) << 5)
+        | (((word >> 8) & 0xF) << 1),
+        13,
+    )
+    imm_j = sext(
+        ((word >> 31) << 20)
+        | (((word >> 12) & 0xFF) << 12)
+        | (((word >> 20) & 1) << 11)
+        | (((word >> 21) & 0x3FF) << 1),
+        21,
+    )
+    imm_u = word >> 12
+
+    if opcode == 0x33:  # R-type
+        if funct7 == 1 and funct3 == 0:
+            return Instr("MUL", rd=rd, rs1=rs1, rs2=rs2)
+        table = {
+            (0, 0): "ADD", (0x20, 0): "SUB", (0, 2): "SLT", (0, 3): "SLTU",
+        }
+        op = table.get((funct7, funct3))
+        if op:
+            return Instr(op, rd=rd, rs1=rs1, rs2=rs2)
+    elif opcode == 0x13 and funct3 == 0:
+        return Instr("ADDI", rd=rd, rs1=rs1, imm=imm_i)
+    elif opcode == 0x37:
+        return Instr("LUI", rd=rd, imm=imm_u)
+    elif opcode == 0x63:
+        if funct3 == 0:
+            return Instr("BEQ", rs1=rs1, rs2=rs2, imm=imm_b)
+        if funct3 == 1:
+            return Instr("BNE", rs1=rs1, rs2=rs2, imm=imm_b)
+    elif opcode == 0x6F:
+        return Instr("JAL", rd=rd, imm=imm_j)
+    raise ValueError(f"unsupported instruction word {word:#010x}")

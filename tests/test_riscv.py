@@ -56,3 +56,30 @@ def test_riscv_prove_verify():
     assert verify_columns(domain, srs, Vesta, cons, proof, TestRng(81))
     proof.zeta_evaluations[0] = (proof.zeta_evaluations[0] + 1) % Fp.p
     assert not verify_columns(domain, srs, Vesta, cons, proof, TestRng(82))
+
+
+def test_elf_load_and_execute():
+    """ELF32 round trip: build -> load -> decode -> execute (o1vm
+    elf_loader.rs capability)."""
+    import struct
+
+    from proof_systems_tpu.o1vm import elf
+    from proof_systems_tpu.o1vm.riscv import decode
+
+    # addi x1,x0,5 ; addi x2,x0,7 ; add x3,x1,x2
+    words = [0x00500093, 0x00700113, 0x002081B3]
+    text = b"".join(struct.pack("<I", w) for w in words)
+    blob = elf.build_elf(elf.EM_RISCV, 0x1000, text, data=(0x2000, b"\x2a\0\0\0"))
+    prog = elf.load_elf(blob)
+    assert prog.machine == elf.EM_RISCV and prog.entry == 0x1000
+    assert prog.memory_image()[0x2000] == 42
+    instrs = [decode(w) for w in prog.text_words()]
+    rows, regs, pc = execute(instrs, 100)
+    assert regs[3] == 12
+
+
+def test_mips_elf_machine():
+    from proof_systems_tpu.o1vm import elf
+
+    blob = elf.build_elf(elf.EM_MIPS, 0, b"\0\0\0\0")
+    assert elf.load_elf(blob).machine == elf.EM_MIPS
