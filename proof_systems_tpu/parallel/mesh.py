@@ -68,3 +68,84 @@ def sharded_ntt_step(mesh: Mesh, n_devices: int, log_n: int = 6, cols_per_dev: i
             want[j] = (want[j] + want_cols[c * n + j]) % p
     assert got == want, "sharded NTT step mismatch"
     return back, total
+
+
+def sharded_msm(mesh: Mesh, curve_params, scalars: jax.Array, points, c: int = 8):
+    """Point-sharded Pippenger MSM over the mesh.
+
+    The n-point axis shards over 'data': each device runs the full
+    O(1)-graph window-sum pipeline (ops/msm.py) on its local points —
+    zero communication — then the tiny (W, b) per-device window partials
+    are all-gathered over ICI and folded with W*b Jacobian adds. Mirrors
+    how the reference splits `msm_bigint` across rayon threads
+    (poly-commitment/src/ipa.rs:527) but across chips.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import msm as msm_mod
+    from ..ops.curve_ops import JPoint, device_curve
+
+    curve = device_curve(curve_params)
+    ndev = mesh.devices.size
+
+    def local(scal, px, py, pinf):
+        pts = type(points)(px, py, pinf)
+        wins = msm_mod._window_sums_body(curve, scal, pts, c)  # (W, b)
+        stacked = jnp.stack([wins.x, wins.y, wins.z], axis=1)  # (16, 3, W, b)
+        gathered = jax.lax.all_gather(stacked, "data")  # (S, 16, 3, W, b)
+        return gathered
+
+    spec_scal = P(None, None, "data")
+    spec_px = P(None, "data")
+    spec_inf = P("data")
+    shmapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_scal, spec_px, spec_px, spec_inf),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    gathered = shmapped(scalars, points.x, points.y, points.inf)
+    # (S*S, 16, 3, W, b) after concatenating the sharded out axis: each
+    # device holds the full gather; take the first S rows.
+    gathered = gathered[:ndev]
+
+    def fold(i, acc):
+        part = JPoint(
+            gathered[i, :, 0], gathered[i, :, 1], gathered[i, :, 2]
+        )
+        return curve.add(acc, part)
+
+    first = JPoint(gathered[0, :, 0], gathered[0, :, 1], gathered[0, :, 2])
+    total = jax.lax.fori_loop(1, ndev, fold, first)
+    combined = msm_mod._combine_windows_body(curve, c, total)
+    aff = curve.to_affine(combined)
+    return jnp.concatenate(
+        [aff.x, aff.y, aff.inf.astype(jnp.uint32)[None]], axis=0
+    )
+
+
+def sharded_msm_check(mesh: Mesh, n_devices: int, n: int = 32, b: int = 2):
+    """Run the sharded MSM on toy data and compare with the host model."""
+    import random
+
+    from ..curves import Vesta
+    from ..ops import msm as msm_mod
+    from ..ops.curve_ops import device_curve
+
+    rng = random.Random(5)
+    curve = device_curve(Vesta)
+    pts = []
+    g = Vesta.generator
+    for _ in range(n):
+        pts.append(Vesta.scalar_mul(rng.randrange(1, Vesta.scalar.p), g))
+    P_aff = curve.pack_affine(pts)
+    scal_rows = [[rng.randrange(Vesta.scalar.p) for _ in range(n)] for _ in range(b)]
+    flat = [s for row in scal_rows for s in row]
+    scal = jnp.asarray(limb.ints_to_limbs(flat, shape=(b, n)))
+
+    packed = sharded_msm(mesh, Vesta, scal, P_aff, c=8)
+    got = msm_mod._decode_packed_affine(curve, packed)
+    want = [Vesta.msm(row, pts) for row in scal_rows]
+    assert got == want, "sharded MSM mismatch"
+    return got

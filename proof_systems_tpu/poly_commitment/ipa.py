@@ -223,6 +223,53 @@ def open_proof(
 
     import numpy as np
 
+    from ..utils.tracing import checkpoint
+
+    if jax.default_backend() in ("tpu", "axon"):
+        # fused device-resident loop: ONE dispatch + ONE transfer for all
+        # log(n) rounds (sponge + challenges on device; host replays the
+        # transcript from the fetched L/R points)
+        lr, blinders, chals, chal_invs, a0, b0, g0 = _open_rounds_device(
+            srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=debug
+        )
+        checkpoint("ipa_rounds_device")
+    else:
+        a0, b0, g0 = _open_rounds_host(
+            srs, sponge, F, dc, a, b_arr, u_base, rng, rounds,
+            lr, blinders, chals, chal_invs, checkpoint,
+        )
+
+    r_prime = blinding_factor
+    for (rand_l, rand_r), (u, u_inv) in zip(blinders, zip(chals, chal_invs)):
+        r_prime = (r_prime + rand_l * u_inv + rand_r * u) % f.p
+
+    d = rng.field(f.p)
+    r_delta = rng.field(f.p)
+    delta = curve.add(
+        curve.scalar_mul(d, curve.add(g0, curve.scalar_mul(b0, u_base))),
+        curve.scalar_mul(r_delta, srs.h),
+    )
+    sponge.absorb_g([delta])
+    c = sponge.challenge().to_field(endo_r, f)
+    z1 = (a0 * c + d) % f.p
+    z2 = (r_prime * c + r_delta) % f.p
+
+    return OpeningProof(lr=lr, delta=delta, z1=z1, z2=z2, sg=g0)
+
+
+def _open_rounds_host(
+    srs, sponge, F, dc, a, b, u_base, rng, rounds,
+    lr, blinders, chals, chal_invs, checkpoint,
+):
+    """Per-round host-driven loop (CPU fallback; exact golden model of
+    the fused device loop above)."""
+    import numpy as np
+
+    curve: CurveParams = srs.curve
+    f: FieldParams = curve.scalar
+    _, endo_r = curve.endos
+    n = len(srs.g)
+
     extra = dc.pack_affine([srs.h, u_base])
     g_ext = APoint(
         jnp.concatenate([srs.g_dev.x, extra.x], axis=-1),
@@ -230,9 +277,6 @@ def open_proof(
         jnp.concatenate([srs.g_dev.inf, extra.inf], axis=-1),
     )
     mask = F.one_mont((n,))
-    zeros_n = F.zeros((n,))
-
-    from ..utils.tracing import checkpoint
 
     for k in range(rounds):
         checkpoint(f"ipa_round_{k}_start")
@@ -268,23 +312,7 @@ def open_proof(
     a0 = F.unpack_mont(a)[0]
     b0 = F.unpack_mont(b)[0]
     g0 = msm.msm(curve, limb.from_mont(F, mask)[:, None, :], srs.g_dev)[0]
-
-    r_prime = blinding_factor
-    for (rand_l, rand_r), (u, u_inv) in zip(blinders, zip(chals, chal_invs)):
-        r_prime = (r_prime + rand_l * u_inv + rand_r * u) % f.p
-
-    d = rng.field(f.p)
-    r_delta = rng.field(f.p)
-    delta = curve.add(
-        curve.scalar_mul(d, curve.add(g0, curve.scalar_mul(b0, u_base))),
-        curve.scalar_mul(r_delta, srs.h),
-    )
-    sponge.absorb_g([delta])
-    c = sponge.challenge().to_field(endo_r, f)
-    z1 = (a0 * c + d) % f.p
-    z2 = (r_prime * c + r_delta) % f.p
-
-    return OpeningProof(lr=lr, delta=delta, z1=z1, z2=z2, sg=g0)
+    return a0, b0, g0
 
 
 def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
@@ -358,3 +386,225 @@ def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
     dc = device_curve(curve)
     res = msm.msm_host_scalars(curve, [scalars], dc.pack_affine(points))[0]
     return res is None
+
+
+# ---------------------------------------------------------------------------
+# Device-resident round loop: the ENTIRE log(n) folding phase (L/R MSMs,
+# Fq-sponge absorbs, 128-bit endo-expanded challenges, folds) runs inside
+# one jitted lax.fori_loop — one dispatch + one transfer for the whole
+# IPA instead of ~3 dispatches + 1 fetch per round (the dominant flat
+# cost of small proofs through the axon tunnel).
+#
+# Fixed shapes across rounds: a/b/mask stay length n; the active prefix
+# m = n >> (k+1) is addressed with dynamic index arithmetic
+# (i & (m-1) | m), which XLA lowers to gathers. The sponge runs in
+# Montgomery form over the BASE field; its state machine is uniform per
+# round (entry mode is always "squeezed": absorb x_l,y_l / permute /
+# absorb x_r,y_r / permute / read 128 bits).
+# ---------------------------------------------------------------------------
+
+
+def _sponge_permute_dev(Fq, mds_m, rc_m, state):
+    """poseidon_block_cipher on a (16, 3) Montgomery state (kimchi params:
+    full rounds only, sbox x^7)."""
+
+    def rnd(r, st):
+        s2 = limb.mont_mul(Fq, st, st)
+        s3 = limb.mont_mul(Fq, s2, st)
+        s6 = limb.mont_mul(Fq, s3, s3)
+        s7 = limb.mont_mul(Fq, s6, st)
+        prods = limb.mont_mul(Fq, mds_m, s7[:, None, :])  # (16, 3, 3)
+        summed = limb.add(
+            Fq, limb.add(Fq, prods[:, :, 0], prods[:, :, 1]), prods[:, :, 2]
+        )
+        rc = jax.lax.dynamic_index_in_dim(rc_m, r, axis=1, keepdims=False)
+        return limb.add(Fq, summed, rc)
+
+    return jax.lax.fori_loop(0, rc_m.shape[1], rnd, state)
+
+
+def _endo_expand_dev(F, chal_limbs, endo_const):
+    """ScalarChallenge.to_field on device: 128-bit -> scalar field element
+    (sponge.rs:122-227). chal_limbs: (16, 1) canonical uint32 limbs."""
+    one = F.one_mont((1,))
+    two = F.const_mont(2, (1,))
+    a0 = two
+    b0 = two
+
+    def body(i0, ab):
+        a, b = ab
+        i = 63 - i0
+        a = limb.add(F, a, a)
+        b = limb.add(F, b, b)
+        bitpos = 2 * i
+        limb_lo = jax.lax.dynamic_index_in_dim(
+            chal_limbs[:, 0], bitpos // limb.LIMB_BITS, keepdims=False
+        )
+        r_2i = (limb_lo >> (bitpos % limb.LIMB_BITS).astype(jnp.uint32)) & 1
+        bitpos1 = bitpos + 1
+        limb_hi = jax.lax.dynamic_index_in_dim(
+            chal_limbs[:, 0], bitpos1 // limb.LIMB_BITS, keepdims=False
+        )
+        r_2i1 = (limb_hi >> (bitpos1 % limb.LIMB_BITS).astype(jnp.uint32)) & 1
+        a_plus = limb.add(F, a, one)
+        a_minus = limb.sub(F, a, one)
+        b_plus = limb.add(F, b, one)
+        b_minus = limb.sub(F, b, one)
+        a_s = jnp.where(r_2i == 1, a_plus, a_minus)
+        b_s = jnp.where(r_2i == 1, b_plus, b_minus)
+        a = jnp.where(r_2i1 == 1, a_s, a)
+        b = jnp.where(r_2i1 == 1, b, b_s)
+        return (a, b)
+
+    a, b = jax.lax.fori_loop(0, 64, body, (a0, b0))
+    return limb.add(F, limb.mont_mul(F, a, endo_const), b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _ipa_all_rounds(
+    F, Fq, curve, rounds, c,
+    a, b, g_ext, rand_lr_all, state0, mds_m, rc_m, endo_const,
+):
+    """All folding rounds fused. Returns (lr_packed (rounds, 33, 2),
+    g0_packed (33, 2), a0 (16, 1), b0 (16, 1))."""
+    n = a.shape[-1]
+    p_minus_2 = F.params.p - 2
+    i_arr = jnp.arange(n, dtype=jnp.uint32)
+    zeros_n = F.zeros((n,))
+    mask0 = F.one_mont((n,))
+    lr0 = jnp.zeros((rounds, 33, 2), dtype=jnp.uint32)
+
+    def round_body(k, carry):
+        a, b, mask, state, lr_acc = carry
+        ku = jnp.uint32(k)
+        shift = jnp.uint32(rounds - 1) - ku
+        bit_k = ((i_arr >> shift) & 1).astype(jnp.bool_)
+        m = jnp.uint32(n) >> (ku + 1)
+        idx_lo = i_arr & (m - 1)
+        idx_hi = idx_lo | m
+        prefmask = i_arr < m
+
+        a_hi_t = jnp.take(a, idx_hi, axis=-1)
+        a_lo_t = jnp.take(a, idx_lo, axis=-1)
+        b_hi_t = jnp.take(b, idx_hi, axis=-1)
+
+        prod_l = limb.select(prefmask, limb.mont_mul(F, a_hi_t, b), zeros_n)
+        prod_r = limb.select(prefmask, limb.mont_mul(F, a, b_hi_t), zeros_n)
+        ip_l = ntt.sum_mod(F, prod_l)
+        ip_r = ntt.sum_mod(F, prod_r)
+
+        w_l = limb.select(bit_k, zeros_n, limb.mont_mul(F, mask, a_hi_t))
+        w_r = limb.select(bit_k, limb.mont_mul(F, mask, a_lo_t), zeros_n)
+        body_s = limb.from_mont(F, jnp.stack([w_l, w_r], axis=1))
+        ips = limb.from_mont(F, jnp.stack([ip_l, ip_r], axis=1))
+        rand_k = jax.lax.dynamic_index_in_dim(
+            rand_lr_all, k, axis=1, keepdims=False
+        )  # (16, 2, 1)
+        scal = jnp.concatenate([body_s, rand_k, ips], axis=-1)  # (16, 2, n+2)
+
+        wins = msm._window_sums_body(curve, scal, g_ext, c)
+        comb = msm._combine_windows_body(curve, c, wins)
+        aff = curve.to_affine(comb)
+        xs = limb.select(aff.inf, F.zeros((2,)), aff.x)
+        ys = limb.select(aff.inf, F.zeros((2,)), aff.y)
+        lr_acc = lr_acc.at[k].set(
+            jnp.concatenate([xs, ys, aff.inf.astype(jnp.uint32)[None]], axis=0)
+        )
+
+        # sponge: entry mode is "squeezed" -> absorb x_l, y_l, permute,
+        # absorb x_r, y_r, permute, challenge = low 128 bits of state[0]
+        st = state
+        st = st.at[:, 0].set(limb.add(Fq, st[:, 0:1], xs[:, 0:1])[:, 0])
+        st = st.at[:, 1].set(limb.add(Fq, st[:, 1:2], ys[:, 0:1])[:, 0])
+        st = _sponge_permute_dev(Fq, mds_m, rc_m, st)
+        st = st.at[:, 0].set(limb.add(Fq, st[:, 0:1], xs[:, 1:2])[:, 0])
+        st = st.at[:, 1].set(limb.add(Fq, st[:, 1:2], ys[:, 1:2])[:, 0])
+        st = _sponge_permute_dev(Fq, mds_m, rc_m, st)
+        chal_limbs = limb.from_mont(Fq, st[:, 0:1])  # canonical 16x16-bit
+        u_arr = _endo_expand_dev(F, chal_limbs, endo_const)
+        u_inv_arr = mont_pow(F, u_arr, p_minus_2)
+
+        a2 = limb.add(F, a, limb.mont_mul(F, jnp.take(a, idx_hi, axis=-1), u_inv_arr))
+        b2 = limb.add(F, b, limb.mont_mul(F, jnp.take(b, idx_hi, axis=-1), u_arr))
+        mask2 = limb.select(bit_k, limb.mont_mul(F, mask, u_arr), mask)
+        return (a2, b2, mask2, st, lr_acc)
+
+    a, b, mask, state, lr_acc = jax.lax.fori_loop(
+        0, rounds, round_body, (a, b, mask0, state0, lr0)
+    )
+
+    # sg = <mask_final, g>: same MSM shape as the rounds (pad 2 zeros)
+    mask_s = limb.from_mont(F, mask)
+    scal_g0 = jnp.concatenate(
+        [mask_s, jnp.zeros((limb.NLIMBS, 2), dtype=jnp.uint32)], axis=-1
+    )
+    scal_g0 = jnp.stack([scal_g0, jnp.zeros_like(scal_g0)], axis=1)
+    wins = msm._window_sums_body(curve, scal_g0, g_ext, c)
+    comb = msm._combine_windows_body(curve, c, wins)
+    aff = curve.to_affine(comb)
+    g0_packed = jnp.concatenate(
+        [aff.x, aff.y, aff.inf.astype(jnp.uint32)[None]], axis=0
+    )
+    return lr_acc, g0_packed, a[:, 0:1], b[:, 0:1]
+
+
+from ..ops.limb import mont_pow  # noqa: E402  (used inside the jit above)
+
+
+def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=None):
+    """Run the fused round loop, then replay the transcript on the host
+    (native poseidon) to recover the challenges. Returns the same
+    (lr, blinders, chals, chal_invs, a0, b0, g0) as the host loop."""
+    curve: CurveParams = srs.curve
+    f = curve.scalar
+    dc = device_curve(curve)
+    params = sponge.sponge.params
+    Fq = limb.device_field(params.field)
+    n = len(srs.g)
+
+    extra = dc.pack_affine([srs.h, u_base])
+    g_ext = APoint(
+        jnp.concatenate([srs.g_dev.x, extra.x], axis=-1),
+        jnp.concatenate([srs.g_dev.y, extra.y], axis=-1),
+        jnp.concatenate([srs.g_dev.inf, extra.inf], axis=-1),
+    )
+    blinders = [(rng.field(f.p), rng.field(f.p)) for _ in range(rounds)]
+    flat = [v for lrpair in blinders for v in lrpair]
+    rand_all = F.pack(flat, shape=(rounds, 2))[..., None]  # (16, rounds, 2, 1)
+
+    state0 = Fq.pack_mont(list(sponge.sponge.state), shape=(3,))
+    mds_m = Fq.pack_mont(
+        [v % params.field.p for row in params.mds for v in row], shape=(3, 3)
+    )
+    nrc = params.rounds_full
+    rc_m = Fq.pack_mont(
+        [v % params.field.p for row in params.round_constants[:nrc] for v in row],
+        shape=(nrc, 3),
+    )
+    endo_const = F.pack_mont([curve.endos[1]], shape=(1,))
+
+    c = msm.default_window_bits(n + 2)
+    lr_packed, g0_packed, a0_arr, b0_arr = _ipa_all_rounds(
+        F, Fq, dc, rounds, c,
+        a, b_arr, g_ext, rand_all, state0, mds_m, rc_m, endo_const,
+    )
+    host = jax.device_get((lr_packed, g0_packed, a0_arr, b0_arr))
+    lr_packed, g0_packed, a0_arr, b0_arr = host
+
+    _, endo_r = curve.endos
+    lr = []
+    chals = []
+    chal_invs = []
+    for k in range(rounds):
+        pts = msm._decode_packed_affine(dc, lr_packed[k])
+        l_pt, r_pt = pts[0], pts[1]
+        lr.append((l_pt, r_pt))
+        sponge.absorb_g([l_pt])
+        sponge.absorb_g([r_pt])
+        u = sponge.challenge().to_field(endo_r, f)
+        chals.append(u)
+        chal_invs.append(pow(u, -1, f.p))
+    g0 = msm._decode_packed_affine(dc, g0_packed)[0]
+    a0 = limb.limbs_to_ints(jnp.asarray(a0_arr))[0] * F.r_inv % f.p
+    b0 = limb.limbs_to_ints(jnp.asarray(b0_arr))[0] * F.r_inv % f.p
+    return lr, blinders, chals, chal_invs, a0, b0, g0

@@ -84,8 +84,20 @@ def test_ipa_open_verify_roundtrip():
     ]
     assert verify_batch(srs, batch, TestRng(2))
 
-    # a corrupted evaluation must fail
+    # a corrupted claimed evaluation must fail: at this layer the claimed
+    # values enter through combined_inner_product (the caller recomputes
+    # it from the evals, verifier.rs to_batch), so corrupt that
     bad = [[[(v[0] + 1) % f.p] for v in ev] for ev in evals]
     batch[0].evaluations = [Evaluation(c, ev) for c, ev in zip(masked, bad)]
+    batch[0].combined_inner_product = combined_inner_product(
+        f, polyscale, evalscale, bad
+    )
     batch[0].sponge = FqSponge(fq_kimchi, curve)
     assert not verify_batch(srs, batch, TestRng(3))
+
+    # and so must a corrupted Schnorr response
+    batch[0].evaluations = [Evaluation(c, ev) for c, ev in zip(masked, evals)]
+    batch[0].combined_inner_product = cip
+    batch[0].sponge = FqSponge(fq_kimchi, curve)
+    batch[0].opening.z1 = (batch[0].opening.z1 + 1) % f.p
+    assert not verify_batch(srs, batch, TestRng(4))
