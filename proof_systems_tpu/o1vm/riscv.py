@@ -93,9 +93,9 @@ def execute(program: list[Instr], max_steps: int, regs0: list[int] | None = None
             flag = 1 if a < b else 0
             res = (a - b) % TWO32
         elif ins.op == "ADDI":
-            total = a + imm
-            flag = total // TWO32
+            total = a + ins.imm  # SIGNED immediate
             res = total % TWO32
+            flag = (total - res) // TWO32  # signed carry in {-1, 0, 1}
         elif ins.op == "LUI":
             res = (imm << 12) % TWO32
         elif ins.op == "SLT":
@@ -143,7 +143,7 @@ def build_columns(f: FieldParams, rows, final_regs, final_pc, n: int) -> list[li
         cols[L.rs2_oh[ins.rs2]][i] = 1
         cols[L.imm][i] = ins.imm % p
         cols[L.res][i] = row["res"]
-        cols[L.flag][i] = row["flag"]
+        cols[L.flag][i] = row["flag"] % p
         a = row["regs"][ins.rs1]
         b = row["regs"][ins.rs2]
         if ins.op in ("BEQ", "BNE"):
@@ -203,9 +203,10 @@ def constraints(f: FieldParams) -> list[E.Expr]:
         out.append(total - sel_any)
     # r0 is always zero
     out.append(c(L.regs[0]))
-    # flag booleanity on ops where it is a bit
+    # flag booleanity on ops where it is a bit (ADDI's flag is a SIGNED
+    # carry in {-1,0,1} for negative immediates; range via LogUp)
     bitflag = (
-        sel["ADD"] + sel["SUB"] + sel["ADDI"] + sel["BEQ"] + sel["BNE"]
+        sel["ADD"] + sel["SUB"] + sel["BEQ"] + sel["BNE"]
     )
     out.append(bitflag * flag.boolean())
 

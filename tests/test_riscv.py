@@ -83,3 +83,35 @@ def test_mips_elf_machine():
 
     blob = elf.build_elf(elf.EM_MIPS, 0, b"\0\0\0\0")
     assert elf.load_elf(blob).machine == elf.EM_MIPS
+
+
+def test_riscv_negative_immediate_constraints():
+    """ADDI with negative imm: signed-carry flag keeps constraints exact."""
+    from proof_systems_tpu.circuits import expr as E
+    from proof_systems_tpu.o1vm.riscv import LAYOUT, build_columns, constraints
+
+    prog = [
+        Instr("ADDI", rd=1, imm=5),
+        Instr("ADDI", rd=2, rs1=1, imm=-9),   # wraps below zero
+        Instr("ADDI", rd=3, rs1=2, imm=-1),
+    ]
+    n = 16
+    rows, regs, pc = execute(prog, n - 1)
+    assert regs[2] == (5 - 9) % (1 << 32)
+    cols = build_columns(Fp, rows, regs, pc, n)
+    cons = constraints(Fp)
+
+    def get_cell_at(j):
+        def get(cell, row):
+            i = cell[1]
+            return cols[i][j] if row == E.CURR else cols[i][(j + 1) % n]
+        return get
+
+    for j in range(n):
+        ctx = E.HostEvalContext(
+            f=Fp, get_cell=get_cell_at(j),
+            challenges={"alpha": 1, "beta": 0, "gamma": 0, "joint_combiner": 0},
+            endo=0, mds=[], point=0, domain_n=n, omega=1, zk_rows=0,
+        )
+        for k, con in enumerate(cons):
+            assert E.eval_host(con, ctx) == 0, f"constraint {k} at row {j}"
