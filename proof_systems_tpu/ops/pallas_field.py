@@ -153,6 +153,79 @@ def _k_select(cond, t: list, f: list) -> list:
     return [jnp.where(cond, x, y) for x, y in zip(t, f)]
 
 
+
+
+def _k_ec_double(F: DeviceField, p1):
+    """dbl-2009-l on in-kernel limb lists."""
+    x1, y1, z1 = p1
+    mul = lambda u, v: _k_mul_redc(F, u, v)
+    add_ = lambda u, v: _k_add(F, u, v)
+    sub_ = lambda u, v: _k_sub(F, u, v)
+    a_ = mul(x1, x1)
+    b_ = mul(y1, y1)
+    c_ = mul(b_, b_)
+    xb = add_(x1, b_)
+    d_ = sub_(sub_(mul(xb, xb), a_), c_)
+    d_ = add_(d_, d_)
+    e_ = add_(add_(a_, a_), a_)
+    f_ = mul(e_, e_)
+    dx = sub_(f_, add_(d_, d_))
+    c8 = add_(c_, c_)
+    c8 = add_(c8, c8)
+    c8 = add_(c8, c8)
+    dy = sub_(mul(e_, sub_(d_, dx)), c8)
+    yz = mul(y1, z1)
+    dz = add_(yz, yz)
+    return dx, dy, dz
+
+
+def _k_ec_add(F: DeviceField, p1, p2):
+    """Complete Jacobian add (add-2007-bl + dbl/inf fallbacks) on
+    in-kernel limb lists (same algorithm as the jacobian_add kernel)."""
+    (x1, y1, z1), (x2, y2, z2) = p1, p2
+    mul = lambda u, v: _k_mul_redc(F, u, v)
+    add_ = lambda u, v: _k_add(F, u, v)
+    sub_ = lambda u, v: _k_sub(F, u, v)
+    p_inf = _k_is_zero(z1)
+    q_inf = _k_is_zero(z2)
+    z1z1 = mul(z1, z1)
+    z2z2 = mul(z2, z2)
+    u1 = mul(x1, z2z2)
+    u2 = mul(x2, z1z1)
+    s1 = mul(y1, mul(z2, z2z2))
+    s2 = mul(y2, mul(z1, z1z1))
+    h = sub_(u2, u1)
+    rr = sub_(s2, s1)
+    r2 = add_(rr, rr)
+    h_zero = _k_is_zero(h)
+    r_zero = _k_is_zero(r2)
+    h2 = add_(h, h)
+    i = mul(h2, h2)
+    j = mul(h, i)
+    v = mul(u1, i)
+    r2sq = mul(r2, r2)
+    x3 = sub_(sub_(r2sq, j), add_(v, v))
+    s1j = mul(s1, j)
+    y3 = sub_(mul(r2, sub_(v, x3)), add_(s1j, s1j))
+    zz = mul(add_(z1, z2), add_(z1, z2))
+    z3 = mul(sub_(sub_(zz, z1z1), z2z2), h)
+    dx, dy, dz = _k_ec_double(F, (x1, y1, z1))
+    use_dbl = jnp.logical_and(h_zero, r_zero)
+    to_inf = jnp.logical_and(h_zero, jnp.logical_not(r_zero))
+    zero = [jnp.zeros_like(x3[0])] * NLIMBS
+    x = _k_select(use_dbl, dx, x3)
+    y = _k_select(use_dbl, dy, y3)
+    z = _k_select(use_dbl, dz, z3)
+    z = _k_select(jnp.logical_and(to_inf, jnp.logical_not(p_inf)), zero, z)
+    x = _k_select(p_inf, x2, x)
+    y = _k_select(p_inf, y2, y)
+    z = _k_select(p_inf, z2, z)
+    x = _k_select(q_inf, x1, x)
+    y = _k_select(q_inf, y1, y)
+    z = _k_select(q_inf, z1, z)
+    return x, y, z
+
+
 def _rows(ref, base: int) -> list:
     return [ref[base + i] for i in range(NLIMBS)]
 
@@ -351,4 +424,144 @@ def jacobian_double(F: DeviceField, px, py, pz):
         _unpad(ox, n).reshape(shape),
         _unpad(oy, n).reshape(shape),
         _unpad(oz, n).reshape(shape),
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel-loop kernels: on the axon tunnel each XLA loop iteration /
+# kernel boundary costs ~0.2 ms, so sequential chains (Fermat inversion,
+# Pippenger window recombination, sponge permutations, endo expansion)
+# are fused into SINGLE pallas_call's with the loop inside the kernel.
+# ---------------------------------------------------------------------------
+
+
+def _stack16(lst):
+    return jnp.stack(lst, axis=0)
+
+
+def _unstack16(arr):
+    return [arr[i] for i in range(NLIMBS)]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def mont_pow_fused(F: DeviceField, a: jax.Array, e: int) -> jax.Array:
+    """a^e (Montgomery, static exponent) with the whole square-and-multiply
+    chain inside ONE kernel (vs ops/limb.mont_pow's ~e.bit_length() XLA
+    loop iterations)."""
+    import numpy as np
+
+    shape = a.shape
+    ap, n = _pad_to_block(a)
+    nbits = max(e.bit_length(), 1)
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.int32)
+    )
+    one_ints = [
+        int((F.r_mod_p >> (LIMB_BITS * i)) & int(MASK)) for i in range(NLIMBS)
+    ]
+
+    def kernel(bits_ref, a_ref, o_ref):
+        base0 = _stack16(_rows(a_ref, 0))
+        one = _stack16(
+            [jnp.full_like(a_ref[0], one_ints[i]) for i in range(NLIMBS)]
+        )
+
+        def body(i, carry):
+            acc, base = carry
+            prod = _stack16(_k_mul_redc(F, _unstack16(acc), _unstack16(base)))
+            acc = jnp.where(bits_ref[i] == 1, prod, acc)
+            base = _stack16(_k_mul_redc(F, _unstack16(base), _unstack16(base)))
+            return acc, base
+
+        acc, _ = jax.lax.fori_loop(0, nbits, body, (one, base0))
+        _store(o_ref, 0, _unstack16(acc))
+
+    m = ap.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=(m // BLOCK_ROWS,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM if pltpu else None),
+            _field_block_spec(),
+        ],
+        out_specs=_field_block_spec(),
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, m, LANE), jnp.uint32),
+        interpret=_interpret(),
+    )(bits, ap)
+    return _unpad(out, n).reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def combine_windows_fused(F: DeviceField, c: int, wx, wy, wz):
+    """Pippenger window recombination sum_w 2^{cw} win_w with the Horner
+    loop (W windows x c doublings) inside ONE kernel — one launch instead
+    of ~W*(c+1) sequential XLA loop iterations (each costs ~0.2 ms on the
+    axon runtime).
+
+    wx/wy/wz: (16, W, b) Jacobian window partials, b <= 128.
+    Returns (x, y, z) of shape (16, b).
+
+    Layout: the proven (16, rows, 128) tile paradigm — window w occupies
+    the aligned 8-row block [8w, 8w+8) (row 0 carries the data), so the
+    dynamic per-iteration load is a full-tile sublane slice.
+    """
+    W, b = wx.shape[1], wx.shape[2]
+    assert b <= LANE
+    pads = []
+    for arr in (wx, wy, wz):
+        ap = jnp.pad(arr, ((0, 0), (0, 0), (0, LANE - b)))  # (16, W, 128)
+        ap = ap[:, :, None, :]  # (16, W, 1, 128)
+        ap = jnp.pad(ap, ((0, 0), (0, 0), (0, BLOCK_ROWS - 1), (0, 0)))
+        pads.append(ap.reshape(NLIMBS, W * BLOCK_ROWS, LANE))
+
+    spec = pl.BlockSpec(
+        (NLIMBS, W * BLOCK_ROWS, LANE), lambda: (0, 0, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+    out_spec = pl.BlockSpec(
+        (NLIMBS, 3 * BLOCK_ROWS, LANE), lambda: (0, 0, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+
+    def kernel(x_ref, y_ref, z_ref, o_ref):
+        def load_win(w):
+            def one(ref):
+                v = ref[:, pl.dslice(w * BLOCK_ROWS, BLOCK_ROWS), :]
+                return [v[i] for i in range(NLIMBS)]
+
+            return one(x_ref), one(y_ref), one(z_ref)
+
+        def body(i, acc):
+            w = W - 1 - i
+
+            def dbl(_, p):
+                return _k_ec_double(F, p)
+
+            acc = jax.lax.fori_loop(0, c, dbl, acc)
+            return _k_ec_add(F, acc, load_win(w))
+
+        zero = [
+            jnp.zeros((BLOCK_ROWS, LANE), dtype=jnp.uint32)
+            for _ in range(NLIMBS)
+        ]
+        acc0 = (list(zero), list(zero), list(zero))
+        x, y, z = jax.lax.fori_loop(0, W, body, acc0)
+        for i in range(NLIMBS):
+            o_ref[i, 0:BLOCK_ROWS, :] = x[i]
+            o_ref[i, BLOCK_ROWS : 2 * BLOCK_ROWS, :] = y[i]
+            o_ref[i, 2 * BLOCK_ROWS : 3 * BLOCK_ROWS, :] = z[i]
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[spec, spec, spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (NLIMBS, 3 * BLOCK_ROWS, LANE), jnp.uint32
+        ),
+        interpret=_interpret(),
+    )(*pads)
+    return (
+        out[:, 0, :b],
+        out[:, BLOCK_ROWS, :b],
+        out[:, 2 * BLOCK_ROWS, :b],
     )
