@@ -64,27 +64,35 @@ def int_to_limbs(x: int) -> np.ndarray:
 
 
 def ints_to_limbs(xs: Sequence[int] | np.ndarray, shape=None) -> np.ndarray:
-    """Sequence of ints -> (16, len(xs)) uint32 (or (16, *shape))."""
+    """Sequence of ints -> (16, len(xs)) uint32 (or (16, *shape)).
+
+    Vectorized through a bytes round trip: at k=16 the witness pack is
+    ~1M elements, so the per-limb Python loop this replaces was seconds
+    of host time on the proving path."""
     xs = list(xs)
-    out = np.empty((NLIMBS, len(xs)), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        for i in range(NLIMBS):
-            out[i, j] = (x >> (LIMB_BITS * i)) & MASK
+    buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
+    out = (
+        np.frombuffer(buf, dtype="<u2")
+        .reshape(len(xs), NLIMBS)
+        .T.astype(np.uint32)
+    )
+    out = np.ascontiguousarray(out)
     if shape is not None:
         out = out.reshape((NLIMBS, *shape))
     return out
 
 
 def limbs_to_ints(arr) -> list[int]:
-    """(16, N...) limb array -> flat list of Python ints."""
-    a = np.asarray(jax.device_get(arr), dtype=np.uint64).reshape(NLIMBS, -1)
-    out = []
-    for j in range(a.shape[1]):
-        v = 0
-        for i in reversed(range(NLIMBS)):
-            v = (v << LIMB_BITS) | int(a[i, j])
-        out.append(v)
-    return out
+    """(16, N...) limb array of canonical (<2^16) limbs -> list of ints."""
+    a = np.asarray(jax.device_get(arr)).reshape(NLIMBS, -1)
+    if a.size == 0:
+        return []
+    assert int(a.max()) <= MASK, "limbs_to_ints expects canonical 16-bit limbs"
+    buf = a.T.astype("<u2").tobytes()
+    return [
+        int.from_bytes(buf[32 * j : 32 * (j + 1)], "little")
+        for j in range(a.shape[1])
+    ]
 
 
 def limbs_to_int(arr) -> int:

@@ -14,12 +14,22 @@ with an (M, 128) = (sublane, lane) tile per limb, the native VPU shape
 (see /opt/skills/guides/pallas_guide.md, Tiling Constraints). Wrappers
 accept the (16, N) public layout and pad/reshape.
 
-The arithmetic is the same canonical Montgomery SOS+REDC as ops/limb.py
-(same bounds analysis); parity is enforced in tests/test_pallas_field.py
-against both the host golden model and the XLA path.
+TRACE-TIME DISCIPLINE (round 2): jax tracing, not XLA compile, is the
+dominant per-process cost of these kernels — a fully-unrolled per-limb
+kernel body issued ~70k traced jnp ops (23 s per EC-add trace, and the
+MSM/IPA graphs re-trace it at several shapes, >300 s per proof process).
+The kernel arithmetic is therefore written (a) limb-VECTORIZED: values
+are (16, rows, lanes) stacked arrays so one traced op covers all limbs,
+and (b) with jax.lax primitives (lax.mul/add/pad/...), which skip the
+jitted-jnp dispatch layer (~3x cheaper per traced op). Same canonical
+Montgomery SOS+REDC bounds analysis as ops/limb.py.
 
 Kernels run on real TPU (Mosaic); under CPU tests they fall back to
-pallas interpret mode automatically.
+pallas interpret mode automatically (parity: tests/test_pallas_field.py).
+
+Reference semantics: arkworks Montgomery fields / Jacobian curve ops as
+used by curves/src/pasta/* (the limb split and kernel fusion are TPU
+layout choices; ring/group semantics identical).
 """
 
 from __future__ import annotations
@@ -28,6 +38,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 
 try:  # pallas TPU backend: present in jax>=0.4 but import varies
@@ -40,127 +52,147 @@ from .limb import LIMB_BITS, MASK, NLIMBS, DeviceField
 BLOCK_ROWS = 8  # sublanes per grid step (one (8,128) vreg per limb row)
 LANE = 128
 
+_M = np.uint32(MASK)
+_SH = np.uint32(LIMB_BITS)
+_SH31 = np.uint32(31)
+_Z = np.uint32(0)
+
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
 # ---------------------------------------------------------------------------
-# In-kernel limb arithmetic on lists of (rows, 128) uint32 arrays
+# In-kernel limb arithmetic on STACKED (16, rows, lanes) uint32 arrays
 # ---------------------------------------------------------------------------
 
 
-def _k_mul_redc(F: DeviceField, a: list, b: list) -> list:
-    """Montgomery product on unstacked limb lists (canonical in/out)."""
-    zero = jnp.zeros_like(a[0])
-    cols = [zero] * (2 * NLIMBS)
+def _shr(x, k=_SH):
+    return lax.shift_right_logical(x, lax.broadcast(k, x.shape))
+
+
+def _and_mask(x):
+    return lax.bitwise_and(x, lax.broadcast(_M, x.shape))
+
+
+def _pad0(x, lo: int, hi: int):
+    """Zero-pad axis 0 of x by (lo, hi)."""
+    cfg = [(lo, hi, 0)] + [(0, 0, 0)] * (x.ndim - 1)
+    return lax.pad(x, _Z, cfg)
+
+
+def _kv_ripple(cols, out_limbs: int):
+    """Carry-normalize (K, *b) columns into out_limbs 16-bit limbs."""
+    outs = []
+    carry = lax.broadcast(_Z, cols.shape[1:])
+    for k in range(cols.shape[0]):
+        v = lax.add(cols[k], carry)
+        outs.append(_and_mask(v))
+        carry = _shr(v)
+    while len(outs) < out_limbs:
+        outs.append(_and_mask(carry))
+        carry = _shr(carry)
+    return jnp.stack(outs[:out_limbs], axis=0)
+
+
+def _kv_sub_raw(a, b):
+    """a - b limbwise (16, *b); returns (limbs, borrow mask (*b,))."""
+    outs = []
+    borrow = lax.broadcast(_Z, a.shape[1:])
     for i in range(NLIMBS):
-        ai = a[i]
-        for j in range(NLIMBS):
-            prod = ai * b[j]
-            cols[i + j] = cols[i + j] + (prod & MASK)
-            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
-    # normalize columns to canonical 16-bit limbs
-    t = []
-    carry = zero
-    for c in cols:
-        v = c + carry
-        t.append(v & MASK)
-        carry = v >> LIMB_BITS
-    # REDC
-    P = F.p_limbs_np
-    pinv = F.pinv
-    t = t + [zero]
-    carry = zero
+        v = lax.sub(lax.sub(a[i], b[i]), borrow)
+        outs.append(_and_mask(v))
+        borrow = _shr(v, _SH31)
+    return jnp.stack(outs, axis=0), borrow
+
+
+def _bsel(cond, t, f):
+    """Select limb arrays by a (*batch,) uint32/bool condition."""
+    c = jnp.broadcast_to(cond[None] != 0, t.shape)
+    return lax.select(c, t, f)
+
+
+def _kv_add(F: DeviceField, a, b):
+    p_arr = _p_stack(F, a.shape[1:])
+    s = _kv_ripple(lax.add(a, b), NLIMBS)
+    d, borrow = _kv_sub_raw(s, p_arr)
+    return _bsel(borrow, s, d)
+
+
+def _kv_sub(F: DeviceField, a, b):
+    p_arr = _p_stack(F, a.shape[1:])
+    d, borrow = _kv_sub_raw(a, b)
+    dp = _kv_ripple(lax.add(d, p_arr), NLIMBS)
+    return _bsel(borrow, dp, d)
+
+
+def _p_stack(F: DeviceField, batch_shape):
+    rows = [lax.broadcast(np.uint32(v), batch_shape) for v in F.p_limbs_np]
+    return jnp.stack(rows, axis=0)
+
+
+def _kv_mul_redc(F: DeviceField, a, b):
+    """Montgomery product on (16, *b) stacked limbs (canonical in/out).
+
+    Same SOS + 16-step REDC as ops/limb (same value bounds); the column
+    accumulators are a (33, *b) array updated with statically-shifted
+    lax.pads so the traced op count stays ~400 per multiply.
+    """
+    batch = a.shape[1:]
+    # full 512-bit product columns: place a_i*b low halves at columns
+    # i..i+15, high halves one up
+    prod = lax.mul(
+        jnp.broadcast_to(a[:, None], (NLIMBS, NLIMBS, *batch)),
+        jnp.broadcast_to(b[None, :], (NLIMBS, NLIMBS, *batch)),
+    )
+    lo = _and_mask(prod)
+    hi = _shr(prod)
+    terms = []
     for i in range(NLIMBS):
-        v = t[i] + carry
-        m = (v * pinv) & MASK
-        prod0 = m * P[0]
-        v0 = v + (prod0 & MASK)
-        carry = v0 >> LIMB_BITS
-        hi_prev = prod0 >> LIMB_BITS
-        for j in range(1, NLIMBS):
-            pr = m * P[j]
-            t[i + j] = t[i + j] + (pr & MASK) + hi_prev
-            hi_prev = pr >> LIMB_BITS
-        t[i + NLIMBS] = t[i + NLIMBS] + hi_prev
-    res = []
-    c2 = carry
-    for k in range(NLIMBS, 2 * NLIMBS):
-        v = t[k] + c2
-        res.append(v & MASK)
-        c2 = v >> LIMB_BITS
-    # conditional subtract p (result < 2p)
-    top = c2
-    d = []
-    borrow = zero
+        terms.append(_pad0(lo[i], i, NLIMBS - i))  # (32, *b)
+        terms.append(_pad0(hi[i], i + 1, NLIMBS - i - 1))
+    cols = functools.reduce(lax.add, terms)  # (32, *b), cols < 2^21
+
+    p_arr = _p_stack(F, batch)
+    pinv = lax.broadcast(F.pinv, batch)
+    t = _pad0(cols, 0, 1)  # (33, *b)
+    carry = lax.broadcast(_Z, batch)
     for i in range(NLIMBS):
-        v = res[i] - P[i] - borrow
-        d.append(v & MASK)
-        borrow = v >> 31
+        v = lax.add(t[i], carry)
+        m = _and_mask(lax.mul(v, pinv))
+        pr = lax.mul(jnp.broadcast_to(m[None], (NLIMBS, *batch)), p_arr)
+        plo = _and_mask(pr)
+        phi = _shr(pr)
+        v0 = lax.add(v, plo[0])
+        carry = _shr(v0)
+        # add plo[1..15] into columns i+1..i+15 and phi[0..15] into i+1..i+16
+        upd = lax.add(_pad0(plo[1:], i + 1, 17 - i), _pad0(phi, i + 1, 16 - i))
+        t = lax.add(t, upd)
+    res = _kv_ripple(t[NLIMBS:], NLIMBS + 1)
+    low = _pad0(carry[None], 0, NLIMBS)
+    res = _kv_ripple(lax.add(res, low), NLIMBS + 1)
+    top = res[NLIMBS]
+    limbs = res[:NLIMBS]
+    d, borrow = _kv_sub_raw(limbs, p_arr)
     use_sub = jnp.logical_or(top != 0, borrow == 0)
-    return [jnp.where(use_sub, x, y) for x, y in zip(d, res)]
+    return _bsel(use_sub, d, limbs)
 
 
-def _k_add(F: DeviceField, a: list, b: list) -> list:
-    zero = jnp.zeros_like(a[0])
-    P = F.p_limbs_np
-    s = []
-    carry = zero
-    for i in range(NLIMBS):
-        v = a[i] + b[i] + carry
-        s.append(v & MASK)
-        carry = v >> LIMB_BITS
-    d = []
-    borrow = zero
-    for i in range(NLIMBS):
-        v = s[i] - P[i] - borrow
-        d.append(v & MASK)
-        borrow = v >> 31
-    return [jnp.where(borrow != 0, x, y) for x, y in zip(s, d)]
+def _kv_is_zero(a):
+    return jnp.all(a == 0, axis=0)
 
 
-def _k_sub(F: DeviceField, a: list, b: list) -> list:
-    zero = jnp.zeros_like(a[0])
-    P = F.p_limbs_np
-    d = []
-    borrow = zero
-    for i in range(NLIMBS):
-        v = a[i] - b[i] - borrow
-        d.append(v & MASK)
-        borrow = v >> 31
-    dp = []
-    carry = zero
-    for i in range(NLIMBS):
-        v = d[i] + P[i] + carry
-        dp.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return [jnp.where(borrow != 0, x, y) for x, y in zip(dp, d)]
+def _kv_select(cond, t, f):
+    """cond: (*batch,) bool; t/f: (16, *batch)."""
+    return _bsel(cond.astype(jnp.uint32), t, f)
 
 
-def _k_dbl(F, a):
-    return _k_add(F, a, a)
-
-
-def _k_is_zero(a: list):
-    acc = a[0] == 0
-    for x in a[1:]:
-        acc = jnp.logical_and(acc, x == 0)
-    return acc
-
-
-def _k_select(cond, t: list, f: list) -> list:
-    return [jnp.where(cond, x, y) for x, y in zip(t, f)]
-
-
-
-
-def _k_ec_double(F: DeviceField, p1):
-    """dbl-2009-l on in-kernel limb lists."""
+def _kv_ec_double(F: DeviceField, p1):
+    """dbl-2009-l on stacked limbs (a=0 short Weierstrass)."""
     x1, y1, z1 = p1
-    mul = lambda u, v: _k_mul_redc(F, u, v)
-    add_ = lambda u, v: _k_add(F, u, v)
-    sub_ = lambda u, v: _k_sub(F, u, v)
+    mul = lambda u, v: _kv_mul_redc(F, u, v)
+    add_ = lambda u, v: _kv_add(F, u, v)
+    sub_ = lambda u, v: _kv_sub(F, u, v)
     a_ = mul(x1, x1)
     b_ = mul(y1, y1)
     c_ = mul(b_, b_)
@@ -179,15 +211,14 @@ def _k_ec_double(F: DeviceField, p1):
     return dx, dy, dz
 
 
-def _k_ec_add(F: DeviceField, p1, p2):
-    """Complete Jacobian add (add-2007-bl + dbl/inf fallbacks) on
-    in-kernel limb lists (same algorithm as the jacobian_add kernel)."""
+def _kv_ec_add(F: DeviceField, p1, p2):
+    """Complete Jacobian add (add-2007-bl + dbl/inf fallbacks)."""
     (x1, y1, z1), (x2, y2, z2) = p1, p2
-    mul = lambda u, v: _k_mul_redc(F, u, v)
-    add_ = lambda u, v: _k_add(F, u, v)
-    sub_ = lambda u, v: _k_sub(F, u, v)
-    p_inf = _k_is_zero(z1)
-    q_inf = _k_is_zero(z2)
+    mul = lambda u, v: _kv_mul_redc(F, u, v)
+    add_ = lambda u, v: _kv_add(F, u, v)
+    sub_ = lambda u, v: _kv_sub(F, u, v)
+    p_inf = _kv_is_zero(z1)
+    q_inf = _kv_is_zero(z2)
     z1z1 = mul(z1, z1)
     z2z2 = mul(z2, z2)
     u1 = mul(x1, z2z2)
@@ -197,8 +228,8 @@ def _k_ec_add(F: DeviceField, p1, p2):
     h = sub_(u2, u1)
     rr = sub_(s2, s1)
     r2 = add_(rr, rr)
-    h_zero = _k_is_zero(h)
-    r_zero = _k_is_zero(r2)
+    h_zero = _kv_is_zero(h)
+    r_zero = _kv_is_zero(r2)
     h2 = add_(h, h)
     i = mul(h2, h2)
     j = mul(h, i)
@@ -209,30 +240,21 @@ def _k_ec_add(F: DeviceField, p1, p2):
     y3 = sub_(mul(r2, sub_(v, x3)), add_(s1j, s1j))
     zz = mul(add_(z1, z2), add_(z1, z2))
     z3 = mul(sub_(sub_(zz, z1z1), z2z2), h)
-    dx, dy, dz = _k_ec_double(F, (x1, y1, z1))
+    dx, dy, dz = _kv_ec_double(F, (x1, y1, z1))
     use_dbl = jnp.logical_and(h_zero, r_zero)
     to_inf = jnp.logical_and(h_zero, jnp.logical_not(r_zero))
-    zero = [jnp.zeros_like(x3[0])] * NLIMBS
-    x = _k_select(use_dbl, dx, x3)
-    y = _k_select(use_dbl, dy, y3)
-    z = _k_select(use_dbl, dz, z3)
-    z = _k_select(jnp.logical_and(to_inf, jnp.logical_not(p_inf)), zero, z)
-    x = _k_select(p_inf, x2, x)
-    y = _k_select(p_inf, y2, y)
-    z = _k_select(p_inf, z2, z)
-    x = _k_select(q_inf, x1, x)
-    y = _k_select(q_inf, y1, y)
-    z = _k_select(q_inf, z1, z)
+    zero = jnp.zeros_like(x3)
+    x = _kv_select(use_dbl, dx, x3)
+    y = _kv_select(use_dbl, dy, y3)
+    z = _kv_select(use_dbl, dz, z3)
+    z = _kv_select(jnp.logical_and(to_inf, jnp.logical_not(p_inf)), zero, z)
+    x = _kv_select(p_inf, x2, x)
+    y = _kv_select(p_inf, y2, y)
+    z = _kv_select(p_inf, z2, z)
+    x = _kv_select(q_inf, x1, x)
+    y = _kv_select(q_inf, y1, y)
+    z = _kv_select(q_inf, z1, z)
     return x, y, z
-
-
-def _rows(ref, base: int) -> list:
-    return [ref[base + i] for i in range(NLIMBS)]
-
-
-def _store(ref, base: int, limbs: list) -> None:
-    for i in range(NLIMBS):
-        ref[base + i] = limbs[i]
 
 
 # ---------------------------------------------------------------------------
@@ -295,7 +317,7 @@ def mont_mul(F: DeviceField, a: jax.Array, b: jax.Array) -> jax.Array:
     bp, _ = _pad_to_block(b)
 
     def kernel(a_ref, b_ref, o_ref):
-        _store(o_ref, 0, _k_mul_redc(F, _rows(a_ref, 0), _rows(b_ref, 0)))
+        o_ref[...] = _kv_mul_redc(F, a_ref[...], b_ref[...])
 
     out = _unpad(_call_elementwise(kernel, 2, 1, ap, bp), n)
     return out.reshape(a.shape)
@@ -313,71 +335,12 @@ def jacobian_add(F: DeviceField, px, py, pz, qx, qy, qz):
         padded.append(xp)
 
     def kernel(px_r, py_r, pz_r, qx_r, qy_r, qz_r, ox_r, oy_r, oz_r):
-        x1, y1, z1 = _rows(px_r, 0), _rows(py_r, 0), _rows(pz_r, 0)
-        x2, y2, z2 = _rows(qx_r, 0), _rows(qy_r, 0), _rows(qz_r, 0)
-        mul = lambda u, v: _k_mul_redc(F, u, v)
-        add_ = lambda u, v: _k_add(F, u, v)
-        sub_ = lambda u, v: _k_sub(F, u, v)
-
-        p_inf = _k_is_zero(z1)
-        q_inf = _k_is_zero(z2)
-        z1z1 = mul(z1, z1)
-        z2z2 = mul(z2, z2)
-        u1 = mul(x1, z2z2)
-        u2 = mul(x2, z1z1)
-        s1 = mul(y1, mul(z2, z2z2))
-        s2 = mul(y2, mul(z1, z1z1))
-        h = sub_(u2, u1)
-        rr = sub_(s2, s1)
-        r2 = add_(rr, rr)
-        h_zero = _k_is_zero(h)
-        r_zero = _k_is_zero(r2)
-
-        h2 = add_(h, h)
-        i = mul(h2, h2)
-        j = mul(h, i)
-        v = mul(u1, i)
-        r2sq = mul(r2, r2)
-        x3 = sub_(sub_(r2sq, j), add_(v, v))
-        s1j = mul(s1, j)
-        y3 = sub_(mul(r2, sub_(v, x3)), add_(s1j, s1j))
-        zz = mul(add_(z1, z2), add_(z1, z2))
-        z3 = mul(sub_(sub_(zz, z1z1), z2z2), h)
-
-        # doubling fallback (dbl-2009-l)
-        a_ = mul(x1, x1)
-        b_ = mul(y1, y1)
-        c_ = mul(b_, b_)
-        xb = add_(x1, b_)
-        d_ = sub_(sub_(mul(xb, xb), a_), c_)
-        d_ = add_(d_, d_)
-        e_ = add_(add_(a_, a_), a_)
-        f_ = mul(e_, e_)
-        dx = sub_(f_, add_(d_, d_))
-        c8 = add_(c_, c_)
-        c8 = add_(c8, c8)
-        c8 = add_(c8, c8)
-        dy = sub_(mul(e_, sub_(d_, dx)), c8)
-        yz = mul(y1, z1)
-        dz = add_(yz, yz)
-
-        use_dbl = jnp.logical_and(h_zero, r_zero)
-        to_inf = jnp.logical_and(h_zero, jnp.logical_not(r_zero))
-        zero = [jnp.zeros_like(x3[0])] * NLIMBS
-
-        x = _k_select(use_dbl, dx, x3)
-        y = _k_select(use_dbl, dy, y3)
-        z = _k_select(use_dbl, dz, z3)
-        z = _k_select(jnp.logical_and(to_inf, jnp.logical_not(p_inf)), zero, z)
-        x = _k_select(p_inf, x2, x)
-        y = _k_select(p_inf, y2, y)
-        z = _k_select(p_inf, z2, z)
-        x = _k_select(q_inf, x1, x)
-        y = _k_select(q_inf, y1, y)
-        z = _k_select(q_inf, z1, z)
-        _store(ox_r, 0, x)
-        _store(oy_r, 0, y)
-        _store(oz_r, 0, z)
+        p1 = (px_r[...], py_r[...], pz_r[...])
+        p2 = (qx_r[...], qy_r[...], qz_r[...])
+        x, y, z = _kv_ec_add(F, p1, p2)
+        ox_r[...] = x
+        oy_r[...] = y
+        oz_r[...] = z
 
     ox, oy, oz = _call_elementwise(kernel, 6, 3, *padded)
     return (
@@ -396,28 +359,10 @@ def jacobian_double(F: DeviceField, px, py, pz):
         padded.append(xp)
 
     def kernel(px_r, py_r, pz_r, ox_r, oy_r, oz_r):
-        x1, y1, z1 = _rows(px_r, 0), _rows(py_r, 0), _rows(pz_r, 0)
-        mul = lambda u, v: _k_mul_redc(F, u, v)
-        add_ = lambda u, v: _k_add(F, u, v)
-        sub_ = lambda u, v: _k_sub(F, u, v)
-        a_ = mul(x1, x1)
-        b_ = mul(y1, y1)
-        c_ = mul(b_, b_)
-        xb = add_(x1, b_)
-        d_ = sub_(sub_(mul(xb, xb), a_), c_)
-        d_ = add_(d_, d_)
-        e_ = add_(add_(a_, a_), a_)
-        f_ = mul(e_, e_)
-        dx = sub_(f_, add_(d_, d_))
-        c8 = add_(c_, c_)
-        c8 = add_(c8, c8)
-        c8 = add_(c8, c8)
-        dy = sub_(mul(e_, sub_(d_, dx)), c8)
-        yz = mul(y1, z1)
-        dz = add_(yz, yz)
-        _store(ox_r, 0, dx)
-        _store(oy_r, 0, dy)
-        _store(oz_r, 0, dz)
+        x, y, z = _kv_ec_double(F, (px_r[...], py_r[...], pz_r[...]))
+        ox_r[...] = x
+        oy_r[...] = y
+        oz_r[...] = z
 
     ox, oy, oz = _call_elementwise(kernel, 3, 3, *padded)
     return (
@@ -435,46 +380,37 @@ def jacobian_double(F: DeviceField, px, py, pz):
 # ---------------------------------------------------------------------------
 
 
-def _stack16(lst):
-    return jnp.stack(lst, axis=0)
-
-
-def _unstack16(arr):
-    return [arr[i] for i in range(NLIMBS)]
-
-
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def mont_pow_fused(F: DeviceField, a: jax.Array, e: int) -> jax.Array:
     """a^e (Montgomery, static exponent) with the whole square-and-multiply
     chain inside ONE kernel (vs ops/limb.mont_pow's ~e.bit_length() XLA
     loop iterations)."""
-    import numpy as np
-
     shape = a.shape
     ap, n = _pad_to_block(a)
     nbits = max(e.bit_length(), 1)
     bits = jnp.asarray(
         np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.int32)
     )
-    one_ints = [
-        int((F.r_mod_p >> (LIMB_BITS * i)) & int(MASK)) for i in range(NLIMBS)
-    ]
+    one_np = np.array(
+        [(F.r_mod_p >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS)],
+        dtype=np.uint32,
+    )
 
     def kernel(bits_ref, a_ref, o_ref):
-        base0 = _stack16(_rows(a_ref, 0))
-        one = _stack16(
-            [jnp.full_like(a_ref[0], one_ints[i]) for i in range(NLIMBS)]
+        base0 = a_ref[...]
+        one = jnp.stack(
+            [lax.broadcast(one_np[i], base0.shape[1:]) for i in range(NLIMBS)]
         )
 
         def body(i, carry):
             acc, base = carry
-            prod = _stack16(_k_mul_redc(F, _unstack16(acc), _unstack16(base)))
+            prod = _kv_mul_redc(F, acc, base)
             acc = jnp.where(bits_ref[i] == 1, prod, acc)
-            base = _stack16(_k_mul_redc(F, _unstack16(base), _unstack16(base)))
+            base = _kv_mul_redc(F, base, base)
             return acc, base
 
         acc, _ = jax.lax.fori_loop(0, nbits, body, (one, base0))
-        _store(o_ref, 0, _unstack16(acc))
+        o_ref[...] = acc
 
     m = ap.shape[1]
     out = pl.pallas_call(
@@ -525,31 +461,24 @@ def combine_windows_fused(F: DeviceField, c: int, wx, wy, wz):
 
     def kernel(x_ref, y_ref, z_ref, o_ref):
         def load_win(w):
-            def one(ref):
-                v = ref[:, pl.dslice(w * BLOCK_ROWS, BLOCK_ROWS), :]
-                return [v[i] for i in range(NLIMBS)]
-
-            return one(x_ref), one(y_ref), one(z_ref)
+            sl = pl.dslice(w * BLOCK_ROWS, BLOCK_ROWS)
+            return (x_ref[:, sl, :], y_ref[:, sl, :], z_ref[:, sl, :])
 
         def body(i, acc):
             w = W - 1 - i
 
             def dbl(_, p):
-                return _k_ec_double(F, p)
+                return _kv_ec_double(F, p)
 
             acc = jax.lax.fori_loop(0, c, dbl, acc)
-            return _k_ec_add(F, acc, load_win(w))
+            return _kv_ec_add(F, acc, load_win(w))
 
-        zero = [
-            jnp.zeros((BLOCK_ROWS, LANE), dtype=jnp.uint32)
-            for _ in range(NLIMBS)
-        ]
-        acc0 = (list(zero), list(zero), list(zero))
+        zero = jnp.zeros((NLIMBS, BLOCK_ROWS, LANE), dtype=jnp.uint32)
+        acc0 = (zero, zero, zero)
         x, y, z = jax.lax.fori_loop(0, W, body, acc0)
-        for i in range(NLIMBS):
-            o_ref[i, 0:BLOCK_ROWS, :] = x[i]
-            o_ref[i, BLOCK_ROWS : 2 * BLOCK_ROWS, :] = y[i]
-            o_ref[i, 2 * BLOCK_ROWS : 3 * BLOCK_ROWS, :] = z[i]
+        o_ref[:, 0:BLOCK_ROWS, :] = x
+        o_ref[:, BLOCK_ROWS : 2 * BLOCK_ROWS, :] = y
+        o_ref[:, 2 * BLOCK_ROWS : 3 * BLOCK_ROWS, :] = z
 
     out = pl.pallas_call(
         kernel,
