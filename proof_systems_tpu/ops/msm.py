@@ -52,8 +52,23 @@ def _scan_sum(curve: DeviceCurve, pts: JPoint, n: int, ident: JPoint) -> JPoint:
 def _combine_windows_body(curve: DeviceCurve, c: int, wins: JPoint) -> JPoint:
     """Σ_w 2^{cw} · win_w on device: Horner over windows, c doublings per
     step (replaces the host bigint recombination — the W·b device→host
-    transfer and Python point arithmetic dominated small proofs)."""
+    transfer and Python point arithmetic dominated small proofs).
+
+    On TPU the whole Horner chain (~W·(c+1) ≈ 290 sequential EC ops)
+    runs inside one pallas kernel; the XLA fori_loop fallback pays
+    ~0.2 ms of dispatch per step."""
     W = wins.x.shape[1]
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and wins.x.ndim == 3
+        and wins.x.shape[2] <= 128
+    ):
+        from . import pallas_field
+
+        x, y, z = pallas_field.combine_windows_fused(
+            curve.F, c, wins.x, wins.y, wins.z
+        )
+        return JPoint(x, y, z)
 
     def body(i, acc):
         w = W - 1 - i

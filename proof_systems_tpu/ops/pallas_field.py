@@ -47,7 +47,7 @@ try:  # pallas TPU backend: present in jax>=0.4 but import varies
 except ImportError:  # pragma: no cover
     pltpu = None
 
-from .limb import LIMB_BITS, MASK, NLIMBS, DeviceField
+from .limb import LIMB_BITS, MASK, NLIMBS, DeviceField, int_to_limbs
 
 BLOCK_ROWS = 8  # sublanes per grid step (one (8,128) vreg per limb row)
 LANE = 128
@@ -494,3 +494,180 @@ def combine_windows_fused(F: DeviceField, c: int, wx, wy, wz):
         out[:, BLOCK_ROWS, :b],
         out[:, 2 * BLOCK_ROWS, :b],
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Fiat-Shamir round kernels. The IPA device loop's per-round
+# transcript math (2 poseidon permutations, the 128-bit endo expansion
+# and the Fermat inverse of the challenge) was ~280 ms/round on the XLA
+# path (~1,200 sequential tiny mont_muls x ~0.24 ms of per-op dispatch);
+# fused into two kernel launches it is <1 ms. Semantics are identical to
+# poseidon/src/permutation.rs + sponge.rs:190-228 (see ipa._ipa_all_rounds
+# for the protocol context).
+# ---------------------------------------------------------------------------
+
+
+def _kv_load_smem_elem(ref, base):
+    """16 SMEM scalars at [base, base+16) -> a (16, 1, LANE) limb tile."""
+    rows = [lax.broadcast(ref[base + l], (1, LANE)) for l in range(NLIMBS)]
+    return jnp.stack(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def sponge_squeeze2_fused(Fq: DeviceField, nrounds: int, state, xs, ys, rc_flat, mds_flat):
+    """Two absorb+permute sponge steps and the challenge read, one kernel.
+
+    state: (16, 3) Montgomery; xs/ys: (16, 2) Montgomery (the L and R
+    point coordinates; infinity already encoded as (0, 0)).
+    rc_flat: (nrounds*3*16,) uint32, rc[r][j] limbs at ((r*3+j)*16);
+    mds_flat: (3*3*16,) uint32, mds[i][j] limbs at ((i*3+j)*16).
+    Both in Montgomery form.
+    Returns (state' (16, 3) Montgomery, chal (16, 1) canonical limbs).
+    """
+    one_std = np.zeros((NLIMBS,), dtype=np.uint32)
+    one_std[0] = 1
+
+    packed = jnp.zeros((NLIMBS, BLOCK_ROWS, LANE), dtype=jnp.uint32)
+    packed = packed.at[:, 0:3, 0].set(state)
+    packed = packed.at[:, 3:5, 0].set(xs)
+    packed = packed.at[:, 5:7, 0].set(ys)
+
+    spec = pl.BlockSpec(
+        (NLIMBS, BLOCK_ROWS, LANE), lambda: (0, 0, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM if pltpu else None)
+
+    def kernel(rc_ref, mds_ref, in_ref, o_ref):
+        mulq = lambda u, v: _kv_mul_redc(Fq, u, v)
+        addq = lambda u, v: _kv_add(Fq, u, v)
+        mds = [
+            [_kv_load_smem_elem(mds_ref, (i * 3 + j) * NLIMBS) for j in range(3)]
+            for i in range(3)
+        ]
+
+        def permute(s):
+            def rnd(r, st):
+                s0, s1, s2 = st
+
+                def sb(x):
+                    x2 = mulq(x, x)
+                    x3 = mulq(x2, x)
+                    return mulq(mulq(x3, x3), x)
+
+                t = [sb(s0), sb(s1), sb(s2)]
+                out = []
+                for i in range(3):
+                    acc = mulq(mds[i][0], t[0])
+                    acc = addq(acc, mulq(mds[i][1], t[1]))
+                    acc = addq(acc, mulq(mds[i][2], t[2]))
+                    rc = _kv_load_smem_elem(rc_ref, (r * 3 + i) * NLIMBS)
+                    out.append(addq(acc, rc))
+                return tuple(out)
+
+            return jax.lax.fori_loop(0, nrounds, rnd, s)
+
+        s0 = in_ref[:, 0:1, :]
+        s1 = in_ref[:, 1:2, :]
+        s2 = in_ref[:, 2:3, :]
+        xl = in_ref[:, 3:4, :]
+        xr = in_ref[:, 4:5, :]
+        yl = in_ref[:, 5:6, :]
+        yr = in_ref[:, 6:7, :]
+        s0, s1, s2 = permute((addq(s0, xl), addq(s1, yl), s2))
+        s0, s1, s2 = permute((addq(s0, xr), addq(s1, yr), s2))
+        one = jnp.stack(
+            [lax.broadcast(one_std[i], (1, LANE)) for i in range(NLIMBS)]
+        )
+        chal = mulq(s0, one)  # REDC(x) = mont_mul(x, 1) = from_mont
+        o_ref[:, 0:1, :] = s0
+        o_ref[:, 1:2, :] = s1
+        o_ref[:, 2:3, :] = s2
+        o_ref[:, 3:4, :] = chal
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[smem, smem, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, BLOCK_ROWS, LANE), jnp.uint32),
+        interpret=_interpret(),
+    )(rc_flat, mds_flat, packed)
+    return out[:, 0:3, 0], out[:, 3:4, 0]
+
+
+def bits128(chal) -> jax.Array:
+    """(16, 1) canonical limbs -> (128,) int32 bit array (LSB first)."""
+    li = np.arange(128) // LIMB_BITS
+    sh = jnp.asarray(np.arange(128) % LIMB_BITS, dtype=jnp.uint32)
+    vals = chal[jnp.asarray(li), 0]
+    return ((vals >> sh) & 1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def endo_inv_fused(F: DeviceField, endo: int, bits):
+    """ScalarChallenge.to_field + Fermat inverse of the result, one kernel.
+
+    bits: (128,) int32 challenge bits (LSB first). endo: host int (the
+    curve's endo_r). Returns (u (16,1), u_inv (16,1)) in Montgomery form.
+    Algorithm: sponge.rs:190-228 (Halo 6.2 endo expansion), then
+    u^(p-2) by LSB-first square-and-multiply — all in-kernel.
+    """
+    p = F.p
+    e = p - 2
+    ebits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(e.bit_length())], dtype=np.int32)
+    )
+    endo_np = int_to_limbs(endo * F.r_mod_p % p)
+    two_np = int_to_limbs(2 * F.r_mod_p % p)
+    one_np = int_to_limbs(F.r_mod_p)
+
+    def const_tile(v):
+        return jnp.stack([lax.broadcast(v[i], (1, LANE)) for i in range(NLIMBS)])
+
+    spec = pl.BlockSpec(
+        (NLIMBS, BLOCK_ROWS, LANE), lambda: (0, 0, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM if pltpu else None)
+
+    def kernel(bits_ref, ebits_ref, o_ref):
+        mulq = lambda u, v: _kv_mul_redc(F, u, v)
+        addq = lambda u, v: _kv_add(F, u, v)
+        subq = lambda u, v: _kv_sub(F, u, v)
+        one = const_tile(one_np)
+        two = const_tile(two_np)
+        endo_t = const_tile(endo_np)
+
+        def body(i0, ab):
+            a, b = ab
+            i = 63 - i0
+            a = addq(a, a)
+            b = addq(b, b)
+            r_2i = bits_ref[2 * i]
+            r_2i1 = bits_ref[2 * i + 1]
+            a_s = jnp.where(r_2i == 1, addq(a, one), subq(a, one))
+            b_s = jnp.where(r_2i == 1, addq(b, one), subq(b, one))
+            a = jnp.where(r_2i1 == 1, a_s, a)
+            b = jnp.where(r_2i1 == 1, b, b_s)
+            return (a, b)
+
+        a, b = jax.lax.fori_loop(0, 64, body, (two, two))
+        u = addq(mulq(a, endo_t), b)
+
+        def pbody(i, carry):
+            acc, base = carry
+            acc = jnp.where(ebits_ref[i] == 1, mulq(acc, base), acc)
+            return acc, mulq(base, base)
+
+        u_inv, _ = jax.lax.fori_loop(0, e.bit_length(), pbody, (one, u))
+        o_ref[:, 0:1, :] = u
+        o_ref[:, 1:2, :] = u_inv
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[smem, smem],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, BLOCK_ROWS, LANE), jnp.uint32),
+        interpret=_interpret(),
+    )(bits, ebits)
+    return out[:, 0:1, 0], out[:, 1:2, 0]

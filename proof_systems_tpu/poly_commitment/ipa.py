@@ -26,6 +26,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..curves import AffinePoint, CurveParams
 from ..fields import FieldParams
@@ -404,71 +405,21 @@ def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _sponge_permute_dev(Fq, mds_m, rc_m, state):
-    """poseidon_block_cipher on a (16, 3) Montgomery state (kimchi params:
-    full rounds only, sbox x^7)."""
-
-    def rnd(r, st):
-        s2 = limb.mont_mul(Fq, st, st)
-        s3 = limb.mont_mul(Fq, s2, st)
-        s6 = limb.mont_mul(Fq, s3, s3)
-        s7 = limb.mont_mul(Fq, s6, st)
-        prods = limb.mont_mul(Fq, mds_m, s7[:, None, :])  # (16, 3, 3)
-        summed = limb.add(
-            Fq, limb.add(Fq, prods[:, :, 0], prods[:, :, 1]), prods[:, :, 2]
-        )
-        rc = jax.lax.dynamic_index_in_dim(rc_m, r, axis=1, keepdims=False)
-        return limb.add(Fq, summed, rc)
-
-    return jax.lax.fori_loop(0, rc_m.shape[1], rnd, state)
-
-
-def _endo_expand_dev(F, chal_limbs, endo_const):
-    """ScalarChallenge.to_field on device: 128-bit -> scalar field element
-    (sponge.rs:122-227). chal_limbs: (16, 1) canonical uint32 limbs."""
-    one = F.one_mont((1,))
-    two = F.const_mont(2, (1,))
-    a0 = two
-    b0 = two
-
-    def body(i0, ab):
-        a, b = ab
-        i = 63 - i0
-        a = limb.add(F, a, a)
-        b = limb.add(F, b, b)
-        bitpos = 2 * i
-        limb_lo = jax.lax.dynamic_index_in_dim(
-            chal_limbs[:, 0], bitpos // limb.LIMB_BITS, keepdims=False
-        )
-        r_2i = (limb_lo >> (bitpos % limb.LIMB_BITS).astype(jnp.uint32)) & 1
-        bitpos1 = bitpos + 1
-        limb_hi = jax.lax.dynamic_index_in_dim(
-            chal_limbs[:, 0], bitpos1 // limb.LIMB_BITS, keepdims=False
-        )
-        r_2i1 = (limb_hi >> (bitpos1 % limb.LIMB_BITS).astype(jnp.uint32)) & 1
-        a_plus = limb.add(F, a, one)
-        a_minus = limb.sub(F, a, one)
-        b_plus = limb.add(F, b, one)
-        b_minus = limb.sub(F, b, one)
-        a_s = jnp.where(r_2i == 1, a_plus, a_minus)
-        b_s = jnp.where(r_2i == 1, b_plus, b_minus)
-        a = jnp.where(r_2i1 == 1, a_s, a)
-        b = jnp.where(r_2i1 == 1, b, b_s)
-        return (a, b)
-
-    a, b = jax.lax.fori_loop(0, 64, body, (a0, b0))
-    return limb.add(F, limb.mont_mul(F, a, endo_const), b)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _ipa_all_rounds(
-    F, Fq, curve, rounds, c,
-    a, b, g_ext, rand_lr_all, state0, mds_m, rc_m, endo_const,
+    F, Fq, curve, rounds, c, endo_r, sponge_rounds,
+    a, b, g_ext, rand_lr_all, state0, rc_flat, mds_flat,
 ):
     """All folding rounds fused. Returns (lr_packed (rounds, 33, 2),
-    g0_packed (33, 2), a0 (16, 1), b0 (16, 1))."""
+    g0_packed (33, 2), a0 (16, 1), b0 (16, 1)).
+
+    The per-round transcript math (sponge permutations, endo expansion,
+    challenge inverse) runs in two fused pallas kernels per round
+    (ops/pallas_field.sponge_squeeze2_fused / endo_inv_fused) — on the
+    XLA path it was ~280 ms/round of sequential tiny-op dispatch."""
+    from ..ops import pallas_field
+
     n = a.shape[-1]
-    p_minus_2 = F.params.p - 2
     i_arr = jnp.arange(n, dtype=jnp.uint32)
     zeros_n = F.zeros((n,))
     mask0 = F.one_mont((n,))
@@ -512,17 +463,14 @@ def _ipa_all_rounds(
         )
 
         # sponge: entry mode is "squeezed" -> absorb x_l, y_l, permute,
-        # absorb x_r, y_r, permute, challenge = low 128 bits of state[0]
-        st = state
-        st = st.at[:, 0].set(limb.add(Fq, st[:, 0:1], xs[:, 0:1])[:, 0])
-        st = st.at[:, 1].set(limb.add(Fq, st[:, 1:2], ys[:, 0:1])[:, 0])
-        st = _sponge_permute_dev(Fq, mds_m, rc_m, st)
-        st = st.at[:, 0].set(limb.add(Fq, st[:, 0:1], xs[:, 1:2])[:, 0])
-        st = st.at[:, 1].set(limb.add(Fq, st[:, 1:2], ys[:, 1:2])[:, 0])
-        st = _sponge_permute_dev(Fq, mds_m, rc_m, st)
-        chal_limbs = limb.from_mont(Fq, st[:, 0:1])  # canonical 16x16-bit
-        u_arr = _endo_expand_dev(F, chal_limbs, endo_const)
-        u_inv_arr = mont_pow(F, u_arr, p_minus_2)
+        # absorb x_r, y_r, permute, challenge = low 128 bits of state[0];
+        # then 128-bit endo expansion + Fermat inverse — two fused kernels
+        st, chal_limbs = pallas_field.sponge_squeeze2_fused(
+            Fq, sponge_rounds, state, xs, ys, rc_flat, mds_flat
+        )
+        u_arr, u_inv_arr = pallas_field.endo_inv_fused(
+            F, endo_r, pallas_field.bits128(chal_limbs)
+        )
 
         a2 = limb.add(F, a, limb.mont_mul(F, jnp.take(a, idx_hi, axis=-1), u_inv_arr))
         b2 = limb.add(F, b, limb.mont_mul(F, jnp.take(b, idx_hi, axis=-1), u_arr))
@@ -548,7 +496,6 @@ def _ipa_all_rounds(
     return lr_acc, g0_packed, a[:, 0:1], b[:, 0:1]
 
 
-from ..ops.limb import mont_pow  # noqa: E402  (used inside the jit above)
 
 
 def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=None):
@@ -573,20 +520,40 @@ def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=Non
     rand_all = F.pack(flat, shape=(rounds, 2))[..., None]  # (16, rounds, 2, 1)
 
     state0 = Fq.pack_mont(list(sponge.sponge.state), shape=(3,))
-    mds_m = Fq.pack_mont(
-        [v % params.field.p for row in params.mds for v in row], shape=(3, 3)
-    )
     nrc = params.rounds_full
-    rc_m = Fq.pack_mont(
-        [v % params.field.p for row in params.round_constants[:nrc] for v in row],
-        shape=(nrc, 3),
+    # flat Montgomery limb layouts for the fused sponge kernel's SMEM
+    # operands: rc[r][j] limbs at ((r*3+j)*16), mds[i][j] at ((i*3+j)*16)
+    mds_flat = jnp.asarray(
+        np.transpose(
+            np.asarray(
+                Fq.pack_mont(
+                    [v % params.field.p for row in params.mds for v in row],
+                    shape=(3, 3),
+                )
+            ),
+            (1, 2, 0),
+        ).reshape(-1)
     )
-    endo_const = F.pack_mont([curve.endos[1]], shape=(1,))
+    rc_flat = jnp.asarray(
+        np.transpose(
+            np.asarray(
+                Fq.pack_mont(
+                    [
+                        v % params.field.p
+                        for row in params.round_constants[:nrc]
+                        for v in row
+                    ],
+                    shape=(nrc, 3),
+                )
+            ),
+            (1, 2, 0),
+        ).reshape(-1)
+    )
 
     c = msm.default_window_bits(n + 2)
     lr_packed, g0_packed, a0_arr, b0_arr = _ipa_all_rounds(
-        F, Fq, dc, rounds, c,
-        a, b_arr, g_ext, rand_all, state0, mds_m, rc_m, endo_const,
+        F, Fq, dc, rounds, c, curve.endos[1], nrc,
+        a, b_arr, g_ext, rand_all, state0, rc_flat, mds_flat,
     )
     host = jax.device_get((lr_packed, g0_packed, a0_arr, b0_arr))
     lr_packed, g0_packed, a0_arr, b0_arr = host

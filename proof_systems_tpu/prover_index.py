@@ -38,6 +38,38 @@ ALWAYS_ON = [
 ]
 
 
+def build_linearization(f, feature_flags, lookup_cs):
+    """Full constraint AST + alpha registry (linearization.rs:43-367;
+    constant term only — berkeley index_terms are empty).
+
+    lookup_cs only needs `.info`, `.table_ids` and `.runtime_selector_d1`
+    (a deserialized VerifierIndex passes a shadow object with just those;
+    see verifier_index.from_file). Returns (alphas, linearization_expr).
+    """
+    lookup_constraints = None
+    nlookup = 0
+    if lookup_cs is not None:
+        lookup_constraints = lookup_mod.constraints(lookup_cs, f)
+        nlookup = len(lookup_constraints)
+    alphas: Alphas = default_alphas(nlookup)
+    total = None
+    for g in ALWAYS_ON:
+        term = gate_constraints.combined(g, f, alphas)
+        total = term if total is None else total + term
+    for g in optional_gates.OPTIONAL_GATE_ORDER:
+        if g in feature_flags:
+            constraints = optional_gates.OPTIONAL_GATE_BUILDERS[g](f)
+            exps = alphas.get_exponents("gate", len(constraints))
+            term = expr_mod.Cell(expr_mod.col_index(g), 0) * expr_mod.combine_constraints(
+                exps, constraints
+            )
+            total = total + term
+    if lookup_constraints is not None:
+        exps = alphas.get_exponents("lookup", len(lookup_constraints))
+        total = total + expr_mod.combine_constraints(exps, lookup_constraints)
+    return alphas, total
+
+
 @dataclass
 class ColumnData:
     """Batched device columns (coefficient + d8 evaluation forms)."""
@@ -70,36 +102,12 @@ class ProverIndex:
         other = Pallas if curve.name == "Vesta" else Vesta
         cs.endo = other.endos[0]
 
-        nlookup = 0
-        if cs.lookup_cs is not None:
-            self._lookup_constraints = lookup_mod.constraints(cs.lookup_cs, cs.f)
-            nlookup = len(self._lookup_constraints)
-        self.alphas: Alphas = default_alphas(nlookup)
-        self.linearization_expr = self._build_linearization()
+        self.alphas, self.linearization_expr = build_linearization(
+            cs.f, cs.feature_flags, cs.lookup_cs
+        )
         self.column_data = self._build_columns()
         self.lookup_data = self._build_lookup_columns()
         self._verifier_index: VerifierIndex | None = None
-
-    # -- linearization (constant term only; index_terms empty in berkeley) --
-
-    def _build_linearization(self):
-        f = self.cs.f
-        total = None
-        for g in ALWAYS_ON:
-            term = gate_constraints.combined(g, f, self.alphas)
-            total = term if total is None else total + term
-        for g in optional_gates.OPTIONAL_GATE_ORDER:
-            if g in self.cs.feature_flags:
-                constraints = optional_gates.OPTIONAL_GATE_BUILDERS[g](f)
-                exps = self.alphas.get_exponents("gate", len(constraints))
-                term = expr_mod.Cell(expr_mod.col_index(g), 0) * expr_mod.combine_constraints(
-                    exps, constraints
-                )
-                total = total + term
-        if self.cs.lookup_cs is not None:
-            exps = self.alphas.get_exponents("lookup", len(self._lookup_constraints))
-            total = total + expr_mod.combine_constraints(exps, self._lookup_constraints)
-        return total
 
     # -- column device data ------------------------------------------------
 

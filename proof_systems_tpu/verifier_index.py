@@ -61,6 +61,22 @@ class VerifierIndex:
     rot_comm: Optional[PolyComm] = None
     lookup_index: Any = None
 
+    def to_file(self, path) -> None:
+        """Persist to disk (verifier_index.rs:345). The SRS and derived
+        members are rebuilt on load, as in the reference."""
+        from .serialization import serialize_verifier_index
+
+        with open(path, "wb") as fh:
+            fh.write(serialize_verifier_index(self))
+
+    @staticmethod
+    def from_file(path, srs) -> "VerifierIndex":
+        """Load from disk against a live SRS (verifier_index.rs:384)."""
+        from .serialization import deserialize_verifier_index
+
+        with open(path, "rb") as fh:
+            return deserialize_verifier_index(fh.read(), srs)
+
     def digest(self) -> int:
         """Absorb every commitment; squeeze one base-field element."""
         sponge = sponge_for(self.curve)

@@ -75,3 +75,108 @@ def test_jacobian_double_parity():
     dx, dy, dz = pf.jacobian_double(F, P.x, P.y, P.z)
     got = dc.unpack_jacobian(JPoint(dx, dy, dz))
     assert got == [curve.double(p) for p in ps]
+
+
+@pytest.mark.heavy
+def test_sponge_endo_fused_parity():
+    """Fused transcript kernels vs the host sponge golden model:
+    absorb L, R points -> 128-bit challenge -> endo expansion -> inverse
+    (the per-round sequence of ipa._ipa_all_rounds)."""
+    import numpy as np
+
+    from proof_systems_tpu.fields import Fp
+    from proof_systems_tpu.poseidon.params import fq_kimchi
+    from proof_systems_tpu.poseidon.sponge import FqSponge
+
+    curve = Vesta
+    params = fq_kimchi
+    sponge = FqSponge(params, curve)
+    sponge.absorb_fq([5, 7, 11])
+    sponge.squeeze_field()  # enter "squeezed" mode, as in the IPA rounds
+    state0 = list(sponge.sponge.state)
+
+    rng = random.Random(21)
+    L = curve.scalar_mul(rng.randrange(1, curve.scalar.p), curve.generator)
+    R = curve.scalar_mul(rng.randrange(1, curve.scalar.p), curve.generator)
+
+    # host golden
+    host = sponge.clone()
+    host.absorb_g([L])
+    host.absorb_g([R])
+    _, endo_r = curve.endos
+    u_host = host.challenge().to_field(endo_r, curve.scalar)
+
+    # device (interpret mode on CPU)
+    Fq = limb.device_field(params.field)
+    F = limb.device_field(curve.scalar)
+    nrc = params.rounds_full
+    mds_flat = np.transpose(
+        np.asarray(
+            Fq.pack_mont(
+                [v % params.field.p for row in params.mds for v in row],
+                shape=(3, 3),
+            )
+        ),
+        (1, 2, 0),
+    ).reshape(-1)
+    rc_flat = np.transpose(
+        np.asarray(
+            Fq.pack_mont(
+                [v % params.field.p for row in params.round_constants[:nrc] for v in row],
+                shape=(nrc, 3),
+            )
+        ),
+        (1, 2, 0),
+    ).reshape(-1)
+    xs = Fq.pack_mont([L[0], R[0]], shape=(2,))
+    ys = Fq.pack_mont([L[1], R[1]], shape=(2,))
+    st = Fq.pack_mont(state0, shape=(3,))
+    st2, chal = pf.sponge_squeeze2_fused(Fq, nrc, st, xs, ys, rc_flat, mds_flat)
+    assert Fq.unpack_mont(st2) == list(host.sponge.state)
+    u_dev, u_inv_dev = pf.endo_inv_fused(F, endo_r, pf.bits128(chal))
+    assert F.unpack_mont(u_dev) == [u_host]
+    assert F.unpack_mont(u_inv_dev) == [pow(u_host, -1, curve.scalar.p)]
+
+
+def test_mont_pow_fused_parity():
+    Fb = Vesta.base
+    F = limb.device_field(Fb)
+    rng = random.Random(31)
+    xs = [rng.randrange(Fb.p) for _ in range(4)] + [0, 1]
+    e = Fb.p - 2
+    a = F.pack_mont(xs, shape=(len(xs),))
+    got = F.unpack_mont(pf.mont_pow_fused(F, a, e))
+    assert got == [pow(x, e, Fb.p) for x in xs]
+
+
+@pytest.mark.heavy
+def test_combine_windows_fused_parity():
+    """Window recombination kernel vs host bigint Horner."""
+    curve = Vesta
+    dc = device_curve(curve)
+    rng = random.Random(32)
+    W, b, c = 3, 4, 2
+    pts = [
+        [
+            curve.scalar_mul(rng.randrange(1, curve.scalar.p), curve.generator)
+            for _ in range(b)
+        ]
+        for _ in range(W)
+    ]
+    pts[1][2] = None  # an infinity window partial
+    packed = [dc.to_jacobian(dc.pack_affine(row)) for row in pts]
+    import jax.numpy as jnp
+
+    wx = jnp.stack([p.x for p in packed], axis=1)
+    wy = jnp.stack([p.y for p in packed], axis=1)
+    wz = jnp.stack([p.z for p in packed], axis=1)
+    ox, oy, oz = pf.combine_windows_fused(dc.F, c, wx, wy, wz)
+    got = dc.unpack_jacobian(JPoint(ox, oy, oz))
+    want = []
+    for j in range(b):
+        acc = None
+        for w in range(W):
+            term = curve.scalar_mul(1 << (c * w), pts[w][j]) if pts[w][j] else None
+            acc = curve.add(acc, term)
+        want.append(acc)
+    assert got == want

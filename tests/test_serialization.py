@@ -59,3 +59,61 @@ def test_visu_and_exporter():
 
     doc = json.loads(r.stdout)
     assert doc["name"] == "fp_kimchi" and len(doc["test_vectors"]) > 5
+
+
+def test_verifier_index_file_roundtrip(tmp_path):
+    """VerifierIndex::to_file/from_file (verifier_index.rs:345,384):
+    the reloaded index has an identical transcript digest and verifies a
+    real proof."""
+    from proof_systems_tpu.circuits.builders import bench_witness
+    from proof_systems_tpu.prover import create_proof
+    from proof_systems_tpu.utils import TestRng
+    from proof_systems_tpu.verifier import verify
+    from proof_systems_tpu.verifier_index import VerifierIndex
+
+    from test_prove_verify import make_index
+
+    index = make_index(22, 32)
+    vk = index.verifier_index()
+    path = tmp_path / "vk.bin"
+    vk.to_file(path)
+    vk2 = VerifierIndex.from_file(path, index.srs)
+    assert vk2.digest() == vk.digest()
+    assert vk2.shift == vk.shift
+    assert vk2.endo == vk.endo
+    assert vk2.zk_w == vk.zk_w
+
+    proof = create_proof(index, bench_witness(22), TestRng(71))
+    assert verify(vk2, proof, [], TestRng(72))
+
+
+def test_verifier_index_file_roundtrip_with_lookup(tmp_path):
+    """Roundtrip for an index with lookup tables + optional gates."""
+    from proof_systems_tpu.circuits.constraints import ConstraintSystem
+    from proof_systems_tpu.fields import Fp
+    from proof_systems_tpu.poly_commitment import srs as srs_mod
+    from proof_systems_tpu.prover_index import ProverIndex
+    from proof_systems_tpu.verifier_index import VerifierIndex
+
+    from test_lookup import lookup_circuit
+
+    gates, witness, table = lookup_circuit(8, 16)
+    cs = ConstraintSystem.create(
+        Fp, gates, public=0, max_poly_size=64, fixed_lookup_tables=[table]
+    )
+    srs_size = cs.domain.d1.n
+    srs = srs_mod.SRS(
+        Vesta,
+        [srs_mod.derive_g(Vesta, i) for i in range(srs_size)],
+        srs_mod.derive_h(Vesta),
+    )
+    index = ProverIndex(cs, Vesta, srs)
+    vk = index.verifier_index()
+    path = tmp_path / "vk_lookup.bin"
+    vk.to_file(path)
+    vk2 = VerifierIndex.from_file(path, index.srs)
+    assert vk2.digest() == vk.digest()
+    li, li2 = vk.lookup_index, vk2.lookup_index
+    assert li2.lookup_info.patterns == li.lookup_info.patterns
+    assert li2.joint_lookup_used == li.joint_lookup_used
+    assert set(li2.lookup_selectors) == set(li.lookup_selectors)
