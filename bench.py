@@ -27,6 +27,10 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    from proof_systems_tpu.utils.cache_hardening import harden
+
+    harden()
+
     from proof_systems_tpu.circuits.builders import bench_circuit, bench_witness
     from proof_systems_tpu.circuits.constraints import ConstraintSystem
     from proof_systems_tpu.curves import Vesta

@@ -49,57 +49,9 @@ jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _lock_cache_io():
-    """Serialize persistent-cache reads/writes across processes.
+from proof_systems_tpu.utils.cache_hardening import harden as _harden_cache  # noqa: E402
 
-    Two jax processes racing on the same cache entry produce torn
-    files; reading one SIGSEGVs inside zstandard.backend_c and the
-    corrupt entry then poisons every later run (observed repeatedly;
-    VERDICT round 1 weak #3). An flock around get/put removes the
-    torn-read/torn-write window; a pre-validating read evicts any
-    already-corrupt entry instead of crashing."""
-    import fcntl
-    import functools
-
-    from jax._src import compilation_cache as _cc
-
-    lock_path = "/tmp/pst_jax_cache.lock"
-
-    def locked(fn):
-        @functools.wraps(fn)
-        def wrapper(*a, **k):
-            with open(lock_path, "w") as lk:
-                fcntl.flock(lk, fcntl.LOCK_EX)
-                try:
-                    return fn(*a, **k)
-                finally:
-                    fcntl.flock(lk, fcntl.LOCK_UN)
-
-        return wrapper
-
-    def evicting(fn):
-        @functools.wraps(fn)
-        def wrapper(cache_key, *a, **k):
-            try:
-                return fn(cache_key, *a, **k)
-            except Exception:
-                # corrupt/torn entry (zlib/zstd error, bad pickle):
-                # evict it and report a miss so it gets recompiled
-                d = jax.config.jax_compilation_cache_dir
-                if d:
-                    try:
-                        os.remove(os.path.join(d, cache_key))
-                    except OSError:
-                        pass
-                return None, None
-
-        return wrapper
-
-    _cc.get_executable_and_time = evicting(locked(_cc.get_executable_and_time))
-    _cc.put_executable_and_time = locked(_cc.put_executable_and_time)
-
-
-_lock_cache_io()
+_harden_cache()
 
 
 def pytest_configure(config):
