@@ -175,12 +175,36 @@ def device_field(params: FieldParams) -> DeviceField:
 # ---------------------------------------------------------------------------
 
 
+def _compact_graphs() -> bool:
+    """Choose lax.scan bodies over unrolled limb steps.
+
+    On CPU (tests, multichip dryrun) XLA compiles at ~100 HLO ops/s and
+    every composite graph inlines dozens of these sequential step chains
+    — unrolled they dominate compile time (an EC add was 102 s to
+    compile; scanned ~4x less). On TPU the unrolled form vectorizes
+    better and the compile happens once server-side, so keep it."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 def _ripple(cols: jax.Array, out_limbs: int) -> jax.Array:
     """Carry-normalize a (K, *batch) column array into out_limbs 16-bit limbs.
 
     Sequential over K (vectorized over batch); caller guarantees the
     final carry vanishes (checked by value-range arguments, not at runtime).
     """
+    if _compact_graphs():
+        k = cols.shape[0]
+        if k < out_limbs:
+            cols = jnp.concatenate(
+                [cols, jnp.zeros((out_limbs - k, *cols.shape[1:]), dtype=cols.dtype)]
+            )
+
+        def body(carry, col):
+            v = col + carry
+            return v >> LIMB_BITS, v & MASK
+
+        _, outs = jax.lax.scan(body, jnp.zeros_like(cols[0]), cols[:out_limbs])
+        return outs
     outs = []
     carry = jnp.zeros_like(cols[0])
     for k in range(cols.shape[0]):
@@ -201,6 +225,16 @@ def _add_raw(a: jax.Array, b: jax.Array) -> jax.Array:
 
 def _sub_raw(a: jax.Array, b: jax.Array):
     """a - b limbwise; returns (canonical limbs, borrow mask)."""
+    if _compact_graphs():
+
+        def body(borrow, ab):
+            v = ab[0] - ab[1] - borrow  # uint32 wraparound is exact mod 2^32
+            return v >> 31, v & MASK
+
+        borrow, outs = jax.lax.scan(
+            body, jnp.zeros_like(a[0]), jnp.stack([a, b], axis=1)
+        )
+        return outs, borrow
     outs = []
     borrow = jnp.zeros_like(a[0])
     for i in range(NLIMBS):
@@ -285,6 +319,8 @@ def _redc(F: DeviceField, cols: jax.Array) -> jax.Array:
     """
     batch_shape = cols.shape[1:]
     p_rows = jnp.asarray(F.p_np).reshape((NLIMBS,) + (1,) * len(batch_shape))
+    if _compact_graphs():
+        return _redc_tail(F, *_redc_scan(F, cols, p_rows))
     t = [cols[k] for k in range(32)]
     carry = jnp.zeros_like(t[0])
     out_lo = []  # the low 16 positions become zero; track their carries only
@@ -301,8 +337,38 @@ def _redc(F: DeviceField, cols: jax.Array) -> jax.Array:
         for j in range(1, NLIMBS):
             t[i + j] = t[i + j] + lo[j] + hi[j - 1]
         t[i + NLIMBS] = t[i + NLIMBS] + hi[NLIMBS - 1]
-    res = _ripple(jnp.stack([t[k] for k in range(NLIMBS, 32)], axis=0) , NLIMBS + 1)
-    # fold the running low-side carry into the result
+    return _redc_tail(F, jnp.stack([t[k] for k in range(NLIMBS, 32)], axis=0), carry)
+
+
+def _redc_scan(F: DeviceField, cols: jax.Array, p_rows: jax.Array):
+    """The 16 REDC steps as a lax.scan over a rolling 32-column buffer
+    (compact-graph path; identical value flow to the unrolled loop in
+    _redc, parity-checked in tests/test_limb.py)."""
+
+    def body(state, _):
+        buf, carry = state  # buf[0] is the current column
+        v = buf[0] + carry
+        m = (v * F.pinv) & MASK
+        prod = m[None] * p_rows
+        lo = prod & MASK
+        hi = prod >> LIMB_BITS
+        carry_out = (v + lo[0]) >> LIMB_BITS
+        batch_pad = [(0, 0)] * (buf.ndim - 1)
+        # lo[1..15] land on columns 1..15; hi[0..15] on columns 1..16
+        buf = buf + jnp.pad(lo[1:], [(1, NLIMBS)] + batch_pad)
+        buf = buf + jnp.pad(hi, [(1, NLIMBS - 1)] + batch_pad)
+        buf = jnp.roll(buf, -1, axis=0).at[-1].set(0)
+        return (buf, carry_out), None
+
+    carry0 = jnp.zeros_like(cols[0])
+    (buf, carry), _ = jax.lax.scan(body, (cols, carry0), None, length=NLIMBS)
+    return buf[:NLIMBS], carry
+
+
+def _redc_tail(F: DeviceField, high: jax.Array, carry: jax.Array) -> jax.Array:
+    """Final normalization shared by both REDC forms: ripple the high
+    columns, fold the low-side carry, conditional subtract of p."""
+    res = _ripple(high, NLIMBS + 1)
     low = jnp.zeros_like(res)
     low = low.at[0].set(carry)
     res = res + low  # res rows canonical; adding carry (<2^7) keeps row 0 < 2^17
