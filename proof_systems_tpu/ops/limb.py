@@ -181,8 +181,13 @@ def _compact_graphs() -> bool:
     On CPU (tests, multichip dryrun) XLA compiles at ~100 HLO ops/s and
     every composite graph inlines dozens of these sequential step chains
     — unrolled they dominate compile time (an EC add was 102 s to
-    compile; scanned ~4x less). On TPU the unrolled form vectorizes
-    better and the compile happens once server-side, so keep it."""
+    compile; scanned, 1.8 s). On TPU the unrolled form vectorizes
+    better and the compile happens once server-side, so keep it.
+    PST_NO_COMPACT=1 forces the unrolled form everywhere (debugging)."""
+    import os
+
+    if os.environ.get("PST_NO_COMPACT") == "1":
+        return False
     return jax.default_backend() not in ("tpu", "axon")
 
 

@@ -84,7 +84,10 @@ def oracles(
         fq_sponge.absorb_g(proof.commitments.lookup.aggreg.chunks)
     fq_sponge.absorb_g(proof.commitments.z_comm.chunks)
     alpha = fq_sponge.challenge().to_field(endo_r, f)
-    assert len(proof.commitments.t_comm.chunks) <= 7, "t commitment too long"
+    # quotient has 7*num_chunks chunks (verifier.rs:260 bounds it by
+    # chunk_size * 7 with chunk_size = domain / max_poly_size)
+    num_chunks = max(1, vk.domain.n // vk.max_poly_size)
+    assert len(proof.commitments.t_comm.chunks) <= 7 * num_chunks, "t commitment too long"
     fq_sponge.absorb_g(proof.commitments.t_comm.chunks)
     zeta = fq_sponge.challenge().to_field(endo_r, f)
 
@@ -271,20 +274,21 @@ def to_batch(vk: VerifierIndex, proof: ProverProof, public_input: list[int]) -> 
     f = curve.scalar
     p = f.p
 
-    # Public input commitment. The reference uses the cached Lagrange-basis
-    # commitments (verifier.rs:833); committing the interpolated public
-    # polynomial over g is the same group element. TODO(perf): switch to
-    # Lagrange commitments once the group-iFFT setup lands.
+    # Public input commitment from the cached Lagrange-basis commitments
+    # (verifier.rs:833; ipa.rs:648-660): -sum_i p_i * commit(L_i), which
+    # is m host scalar-muls instead of an iNTT + n-point MSM. The public
+    # polynomial has degree < max_poly_size, but a chunked proof commits
+    # it with num_chunks chunks (zero beyond the first; verifier.rs:845
+    # uses chunk_size blinders) — pad so the transcript matches.
+    num_chunks = max(1, vk.domain.n // vk.max_poly_size)
     if public_input:
-        from .ops import limb
-
-        F = limb.device_field(f)
-        n = vk.domain.n
-        evals = [(-x) % p for x in public_input] + [0] * (n - len(public_input))
-        coeffs = vk.domain.intt(F.pack_mont(evals, shape=(1, n)))
-        comm = vk.srs.commit_coeffs_dev(coeffs, 1)[0]
+        lag = vk.srs.lagrange_commitments(vk.domain, len(public_input))
+        acc = None
+        for pi, li in zip(public_input, lag):
+            acc = curve.add(acc, curve.scalar_mul((-pi) % p, li))
+        comm = PolyComm([acc] + [None] * (num_chunks - 1))
     else:
-        comm = PolyComm([None])
+        comm = PolyComm([None] * num_chunks)
     public_comm = vk.srs.mask(comm, [1] * len(comm))
 
     o = oracles(vk, proof, public_comm, public_input)
