@@ -49,6 +49,58 @@ def col(i: int):
     return ("o1vm", i)
 
 
+def _collect_lagrange_offsets(constraints) -> set[int]:
+    """Row offsets of every UnnormalizedLagrangeBasis node (zk_rows=0
+    here, so zk_anchored offsets are plain offsets mod n)."""
+    offsets: set[int] = set()
+    seen: set[int] = set()
+
+    def walk(e):
+        if id(e) in seen:
+            return
+        seen.add(id(e))
+        if isinstance(e, expr_mod.UnnormalizedLagrangeBasis):
+            offsets.add(e.offset)
+        for attr in ("a", "b"):
+            child = getattr(e, attr, None)
+            if isinstance(child, expr_mod.Expr):
+                walk(child)
+
+    for c in constraints:
+        walk(c)
+    return offsets
+
+
+def _unnormalized_lagrange_evals(F, constraints, n: int, omega: int, d8, p: int):
+    """d8 evaluations of (x^n - 1)/(x - w^i) for every boundary row the
+    constraints reference (expr.rs UnnormalizedLagrangeBasis). At the
+    removable singularity x = w^i the value is n * w^{-i} (L'Hopital).
+    Host-exact precompute, one packed device array per offset."""
+    offsets = _collect_lagrange_offsets(constraints)
+    if not offsets:
+        return None
+    g8 = d8.group_gen
+    n8 = d8.n
+    xs = [1] * n8
+    for k in range(1, n8):
+        xs[k] = xs[k - 1] * g8 % p
+    xi = pow(g8, n, p)  # 8th root of unity: x^n cycles with period 8
+    xn_minus_1 = [(pow(xi, k % 8, p) - 1) % p for k in range(n8)]
+    out = {}
+    for i in sorted(offsets):
+        i %= n
+        wi = pow(omega, i, p)
+        vals = []
+        for k in range(n8):
+            den = (xs[k] - wi) % p
+            if den == 0:
+                vals.append(n * pow(wi, p - 2, p) % p)
+            else:
+                vals.append(xn_minus_1[k] * pow(den, p - 2, p) % p)
+        out[i] = F.pack_mont(vals, shape=(n8,))
+    return out
+
+
 @dataclass
 class ColumnProof:
     commitments: list[PolyComm]
@@ -61,7 +113,7 @@ class ColumnProof:
 
 def prove_columns(
     domain, srs, curve: CurveParams, columns_evals: jnp.ndarray, constraints, rng,
-    make_beta_columns=None,
+    make_beta_columns=None, with_joint_combiner: bool = False,
 ) -> ColumnProof:
     """columns_evals: (16, C, n) Montgomery evaluations over d1.
 
@@ -70,7 +122,12 @@ def prove_columns(
     and absorbed first, a beta challenge is squeezed (endo-expanded), and
     `make_beta_columns(beta) -> (16, C2, n)` supplies challenge-dependent
     columns (e.g. the LogUp aggregator phi). Constraints may then
-    reference Challenge("beta")."""
+    reference Challenge("beta").
+
+    `with_joint_combiner`: squeeze a vector-lookup combiner BEFORE beta
+    (msm/src/logup.rs:646-649 order) and call
+    `make_beta_columns(beta, joint)`; Challenge("joint_combiner") is then
+    bound in the constraint context."""
     f = curve.scalar
     p = f.p
     F = limb.device_field(f)
@@ -88,9 +145,16 @@ def prove_columns(
         fq_sponge.absorb_g(c.chunks)
 
     beta = 0
+    joint = 0
     if make_beta_columns is not None:
+        if with_joint_combiner:
+            joint = fq_sponge.challenge().to_field(endo_r, f)
         beta = fq_sponge.challenge().to_field(endo_r, f)
-        extra_evals = make_beta_columns(beta)
+        extra_evals = (
+            make_beta_columns(beta, joint)
+            if with_joint_combiner
+            else make_beta_columns(beta)
+        )
         extra_coeffs = d1.intt(extra_evals)
         extra_nh = srs.commit_coeffs_dev(extra_coeffs, 1)
         extra_comms = [srs.mask(c, [1]) for c in extra_nh]
@@ -110,12 +174,15 @@ def prove_columns(
     ctx = expr_mod.DeviceEvalContext(
         F=F,
         columns=columns,
-        challenges={"alpha": alpha, "beta": beta, "gamma": 0, "joint_combiner": 0},
+        challenges={"alpha": alpha, "beta": beta, "gamma": 0, "joint_combiner": joint},
         endo=endo_r,
         mds=[],
         domain_n=n,
         zk_rows=0,
         omega=d1.group_gen,
+        unnormalized_lagrange=_unnormalized_lagrange_evals(
+            F, constraints, n, d1.group_gen, d8, p
+        ),
     )
     combined = expr_mod.combine_constraints(range(len(constraints)), list(constraints))
     numerator8 = expr_mod.eval_dev(combined, ctx)  # (16, 8n)
@@ -173,10 +240,11 @@ def prove_columns(
 
 def verify_columns(
     domain, srs, curve: CurveParams, constraints, proof: ColumnProof, rng,
-    num_beta_columns: int = 0,
+    num_beta_columns: int = 0, with_joint_combiner: bool = False,
 ) -> bool:
     """`num_beta_columns`: trailing commitments that were committed AFTER
-    the beta squeeze (two-phase flow; 0 = single-phase)."""
+    the beta squeeze (two-phase flow; 0 = single-phase).
+    `with_joint_combiner`: mirror the prover's extra pre-beta squeeze."""
     f = curve.scalar
     p = f.p
     d1 = domain.d1
@@ -185,10 +253,13 @@ def verify_columns(
 
     fq_sponge = sponge_for(curve)
     beta = 0
+    joint = 0
     n1 = len(proof.commitments) - num_beta_columns
     for c in proof.commitments[:n1]:
         fq_sponge.absorb_g(c.chunks)
     if num_beta_columns:
+        if with_joint_combiner:
+            joint = fq_sponge.challenge().to_field(endo_r, f)
         beta = fq_sponge.challenge().to_field(endo_r, f)
         for c in proof.commitments[n1:]:
             fq_sponge.absorb_g(c.chunks)
@@ -221,7 +292,7 @@ def verify_columns(
     ctx = expr_mod.HostEvalContext(
         f=f,
         get_cell=get_cell,
-        challenges={"alpha": alpha, "beta": beta, "gamma": 0, "joint_combiner": 0},
+        challenges={"alpha": alpha, "beta": beta, "gamma": 0, "joint_combiner": joint},
         endo=endo_r,
         mds=[],
         point=zeta,
