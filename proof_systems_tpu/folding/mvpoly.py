@@ -334,3 +334,210 @@ def to_expr(poly: MVPoly, var_expr: Callable[[int], E.Expr], u: int | None = Non
                 term = term * var_expr(i)
         out = term if out is None else out + term
     return out if out is not None else E.Literal(0)
+
+
+# ---------------------------------------------------------------------------
+# Prime (dense) representation — mvpoly/src/prime.rs.
+#
+# Each variable X_i is assigned a distinct prime q_i; the monomial
+# prod X_i^{e_i} is identified by the integer prod q_i^{e_i}. A
+# polynomial of N variables and max degree D is a dense coefficient
+# vector over the sorted list of "normalized indices" (prime.rs:523
+# compute_normalized_indices): all such products <= q_N^D that factor
+# entirely over {q_1..q_N} with total multiplicity <= D. Multiplication
+# of monomials is integer multiplication of indices.
+# ---------------------------------------------------------------------------
+
+
+def _first_primes(n: int) -> list[int]:
+    primes: list[int] = []
+    c = 2
+    while len(primes) < n:
+        if all(c % q for q in primes):
+            primes.append(c)
+        c += 1
+    return primes
+
+
+def _normalized_indices(nvars: int, max_degree: int) -> list[int]:
+    primes = _first_primes(nvars)
+    vals = {1}
+    for _ in range(max_degree):
+        vals |= {v * q for v in vals for q in primes}
+    return sorted(vals)
+
+
+class PrimeMVPoly:
+    """Dense prime-indexed representation (mvpoly/src/prime.rs).
+
+    Same algebra as MVPoly; coefficient vector `coeffs` is aligned with
+    `self.indices` = compute_normalized_indices(N, D)."""
+
+    __slots__ = ("p", "nvars", "max_degree", "primes", "indices", "pos", "coeffs")
+
+    def __init__(self, p: int, nvars: int, max_degree: int, coeffs=None):
+        self.p = p
+        self.nvars = nvars
+        self.max_degree = max_degree
+        self.primes = _first_primes(nvars)
+        self.indices = _normalized_indices(nvars, max_degree)
+        self.pos = {v: i for i, v in enumerate(self.indices)}
+        self.coeffs = list(coeffs) if coeffs is not None else [0] * len(self.indices)
+        assert len(self.coeffs) == len(self.indices)
+
+    # -- conversions ---------------------------------------------------
+
+    def _exp_of_index(self, value: int) -> Exponents:
+        e = []
+        for q in self.primes:
+            k = 0
+            while value % q == 0:
+                value //= q
+                k += 1
+            e.append(k)
+        assert value == 1
+        return tuple(e)
+
+    def _index_of_exp(self, e: Exponents) -> int:
+        v = 1
+        for q, ei in zip(self.primes, e):
+            v *= q**ei
+        return v
+
+    def to_monomials(self) -> MVPoly:
+        out = MVPoly(self.p, self.nvars, self.max_degree)
+        for v, c in zip(self.indices, self.coeffs):
+            if c:
+                out.terms[self._exp_of_index(v)] = c
+        return out
+
+    @classmethod
+    def from_monomials(cls, m: MVPoly) -> "PrimeMVPoly":
+        out = cls(m.p, m.nvars, m.max_degree)
+        for e, c in m.terms.items():
+            out.coeffs[out.pos[out._index_of_exp(e)]] = c % m.p
+        return out
+
+    @classmethod
+    def constant(cls, p: int, nvars: int, max_degree: int, c: int) -> "PrimeMVPoly":
+        out = cls(p, nvars, max_degree)
+        out.coeffs[out.pos[1]] = c % p
+        return out
+
+    @classmethod
+    def variable(cls, p: int, nvars: int, max_degree: int, i: int) -> "PrimeMVPoly":
+        out = cls(p, nvars, max_degree)
+        out.coeffs[out.pos[out.primes[i]]] = 1
+        return out
+
+    @classmethod
+    def random(cls, rng, p: int, nvars: int, max_degree: int) -> "PrimeMVPoly":
+        out = cls(p, nvars, max_degree)
+        out.coeffs = [rng.randrange(p) for _ in out.indices]
+        return out
+
+    # -- algebra (prime.rs Add/Mul/Neg/Sub impls) -----------------------
+
+    def _like(self, coeffs) -> "PrimeMVPoly":
+        return PrimeMVPoly(self.p, self.nvars, self.max_degree, coeffs)
+
+    def _check_like(self, o: "PrimeMVPoly") -> None:
+        assert (self.nvars, self.max_degree) == (o.nvars, o.max_degree), (
+            "mixed-arity/degree prime polys (the reference encodes N, D in "
+            "the type, prime.rs Dense<F, N, D>)"
+        )
+
+    def __add__(self, o: "PrimeMVPoly") -> "PrimeMVPoly":
+        self._check_like(o)
+        return self._like([(a + b) % self.p for a, b in zip(self.coeffs, o.coeffs)])
+
+    def __neg__(self) -> "PrimeMVPoly":
+        return self._like([(-a) % self.p for a in self.coeffs])
+
+    def __sub__(self, o: "PrimeMVPoly") -> "PrimeMVPoly":
+        self._check_like(o)
+        return self._like([(a - b) % self.p for a, b in zip(self.coeffs, o.coeffs)])
+
+    def __mul__(self, o: "PrimeMVPoly") -> "PrimeMVPoly":
+        # degree overflow must stay representable, as in prime.rs (the
+        # caller guarantees deg(self) + deg(o) <= D via types there)
+        out = [0] * len(self.indices)
+        nz1 = [(v, c) for v, c in zip(self.indices, self.coeffs) if c]
+        nz2 = [(v, c) for v, c in zip(o.indices, o.coeffs) if c]
+        for v1, c1 in nz1:
+            for v2, c2 in nz2:
+                pos = self.pos.get(v1 * v2)
+                assert pos is not None, "product degree exceeds max_degree"
+                out[pos] = (out[pos] + c1 * c2) % self.p
+        return self._like(out)
+
+    def mul_by_scalar(self, s: int) -> "PrimeMVPoly":
+        return self._like([a * s % self.p for a in self.coeffs])
+
+    def __eq__(self, o) -> bool:
+        return (
+            isinstance(o, PrimeMVPoly)
+            and self.p == o.p
+            and self.nvars == o.nvars
+            and self.max_degree == o.max_degree
+            and self.coeffs == o.coeffs
+        )
+
+    def is_zero(self) -> bool:
+        return all(c == 0 for c in self.coeffs)
+
+    def is_constant(self) -> bool:
+        return all(c == 0 for v, c in zip(self.indices, self.coeffs) if v != 1)
+
+    def degree(self) -> int:
+        return max(
+            (sum(self._exp_of_index(v)) for v, c in zip(self.indices, self.coeffs) if c),
+            default=0,
+        )
+
+    def is_homogeneous(self) -> bool:
+        degs = {sum(self._exp_of_index(v)) for v, c in zip(self.indices, self.coeffs) if c}
+        return degs <= {self.max_degree}
+
+    def is_multilinear(self) -> bool:
+        return all(
+            max(self._exp_of_index(v), default=0) <= 1
+            for v, c in zip(self.indices, self.coeffs)
+            if c
+        )
+
+    # -- evaluation ------------------------------------------------------
+
+    def eval(self, x) -> int:
+        acc = 0
+        for v, c in zip(self.indices, self.coeffs):
+            if not c:
+                continue
+            t = c
+            for xi, ei in zip(x, self._exp_of_index(v)):
+                if ei:
+                    t = t * pow(xi, ei, self.p) % self.p
+            acc = (acc + t) % self.p
+        return acc
+
+    def homogeneous_eval(self, x, u: int) -> int:
+        acc = 0
+        D = self.max_degree
+        for v, c in zip(self.indices, self.coeffs):
+            if not c:
+                continue
+            e = self._exp_of_index(v)
+            t = c * pow(u, D - sum(e), self.p) % self.p
+            for xi, ei in zip(x, e):
+                if ei:
+                    t = t * pow(xi, ei, self.p) % self.p
+            acc = (acc + t) % self.p
+        return acc
+
+    def compute_cross_terms(self, eval1, eval2, u1: int, u2: int) -> Dict[int, int]:
+        return self.to_monomials().compute_cross_terms(eval1, eval2, u1, u2)
+
+    def compute_cross_terms_scaled(
+        self, eval1, eval2, u1: int, u2: int, s1: int, s2: int
+    ) -> Dict[int, int]:
+        return self.to_monomials().compute_cross_terms_scaled(eval1, eval2, u1, u2, s1, s2)

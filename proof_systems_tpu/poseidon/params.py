@@ -49,3 +49,7 @@ fp_kimchi = PoseidonParams("fp_kimchi", Fp, rounds_full=55, sbox=7, initial_ark=
 fq_kimchi = PoseidonParams("fq_kimchi", Fq, rounds_full=55, sbox=7, initial_ark=False)
 fp_legacy = PoseidonParams("fp_legacy", Fp, rounds_full=63, sbox=5, initial_ark=True)
 fq_legacy = PoseidonParams("fq_legacy", Fq, rounds_full=63, sbox=5, initial_ark=True)
+# arrabbiata's custom IVC instance: width 3, 60 full rounds, x^5
+# (arrabbiata/src/curve.rs:24-33, poseidon_3_60_0_5_5_{fp,fq}.rs)
+fp_3_60_0_5_5 = PoseidonParams("fp_3_60_0_5_5", Fp, rounds_full=60, sbox=5, initial_ark=False)
+fq_3_60_0_5_5 = PoseidonParams("fq_3_60_0_5_5", Fq, rounds_full=60, sbox=5, initial_ark=False)

@@ -42,6 +42,30 @@ def extract(name: str) -> None:
     print(f"{name}: {len(data['round_constants'])} rounds")
 
 
+ARRABBIATA_REF = pathlib.Path("/root/reference/arrabbiata/src")
+
+
+def extract_arrabbiata(field: str) -> None:
+    """Arrabbiata's custom width-3 60-full-round x^5 instance
+    (arrabbiata/src/poseidon_3_60_0_5_5_{fp,fq}.rs, sage-generated)."""
+    text = (ARRABBIATA_REF / f"poseidon_3_60_0_5_5_{field}.rs").read_text()
+    mds_start = text.index("mds:")
+    rc_start = text.index("round_constants:")
+    mds_nums = NUM.findall(text[mds_start:rc_start])
+    rc_nums = NUM.findall(text[rc_start:])
+    assert len(mds_nums) == 9, (field, len(mds_nums))
+    assert len(rc_nums) == 3 * 60, (field, len(rc_nums))
+    data = {
+        "mds": [mds_nums[i * 3 : (i + 1) * 3] for i in range(3)],
+        "round_constants": [rc_nums[i * 3 : (i + 1) * 3] for i in range(60)],
+    }
+    OUT.mkdir(parents=True, exist_ok=True)
+    (OUT / f"{field}_3_60_0_5_5.json").write_text(json.dumps(data))
+    print(f"{field}_3_60_0_5_5: {len(data['round_constants'])} rounds")
+
+
 if __name__ == "__main__":
     for name in ["fp_kimchi", "fq_kimchi", "fp_legacy", "fq_legacy"]:
         extract(name)
+    for field in ["fp", "fq"]:
+        extract_arrabbiata(field)

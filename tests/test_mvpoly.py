@@ -152,3 +152,108 @@ def test_from_expr_next_row():
     ast = E.Cell(0, E.CURR) * E.Cell(1, E.NEXT)
     poly = MVPoly.from_expr(ast, P, 4, 2, lambda c: c, offset_next_row=2)
     assert poly.terms == {(1, 0, 0, 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# Prime (dense) representation + property-based tests (mvpoly/src/prime.rs,
+# mvpoly/src/pbt.rs — proptest suites run on both representations there;
+# random-iteration loops are the analogue here).
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+from proof_systems_tpu.folding.mvpoly import PrimeMVPoly, _normalized_indices
+
+
+def test_prime_normalized_indices():
+    # prime.rs doc example: N=2, D=2 -> {1, 2, 3, 4, 6, 9}
+    assert _normalized_indices(2, 2) == [1, 2, 3, 4, 6, 9]
+    # dimension equals the monomial count: C(N+D, D)
+    from math import comb
+
+    for n, d in [(2, 2), (3, 3), (4, 2)]:
+        assert len(_normalized_indices(n, d)) == comb(n + d, d)
+
+
+def test_prime_pbt_algebra_laws():
+    p = P
+    rng = _random.Random(11)
+    N, D = 3, 3
+    for _ in range(8):
+        a = PrimeMVPoly.random(rng, p, N, D)
+        b = PrimeMVPoly.random(rng, p, N, D)
+        c = PrimeMVPoly.random(rng, p, N, D)
+        zero = PrimeMVPoly(p, N, D)
+        assert (a + b) == (b + a)
+        assert ((a + b) + c) == (a + (b + c))
+        assert (a + zero) == a
+        assert (a - a).is_zero()
+        assert (-(-a)) == a
+        assert a.mul_by_scalar(1) == a
+        assert a.mul_by_scalar(0).is_zero()
+        x = [rng.randrange(p) for _ in range(N)]
+        assert (a + b).eval(x) == (a.eval(x) + b.eval(x)) % p
+        assert (a - b).eval(x) == (a.eval(x) - b.eval(x)) % p
+        s = rng.randrange(p)
+        assert a.mul_by_scalar(s).eval(x) == a.eval(x) * s % p
+
+
+def test_prime_pbt_mul_matches_eval():
+    p = P
+    rng = _random.Random(12)
+    N = 3
+    for _ in range(8):
+        # degree-<=2 factors inside a degree-4 space so products stay valid
+        a = PrimeMVPoly(p, N, 4)
+        b = PrimeMVPoly(p, N, 4)
+        for poly in (a, b):
+            for v in poly.indices:
+                if sum(poly._exp_of_index(v)) <= 2:
+                    poly.coeffs[poly.pos[v]] = rng.randrange(p)
+        x = [rng.randrange(p) for _ in range(N)]
+        assert (a * b).eval(x) == a.eval(x) * b.eval(x) % p
+        assert (a * b).degree() <= 4
+
+
+def test_prime_monomial_roundtrip_and_predicates():
+    p = P
+    rng = _random.Random(13)
+    for _ in range(6):
+        m = MVPoly.random(rng, p, 3, 3)
+        pr = PrimeMVPoly.from_monomials(m)
+        assert pr.to_monomials() == m
+        x = [rng.randrange(p) for _ in range(3)]
+        assert pr.eval(x) == m.eval(x)
+        u = rng.randrange(1, p)
+        assert pr.homogeneous_eval(x, u) == m.homogeneous_eval(x, u)
+        assert pr.degree() == m.degree()
+        assert pr.is_homogeneous() == m.is_homogeneous()
+        assert pr.is_multilinear() == m.is_multilinear()
+    assert PrimeMVPoly.constant(p, 3, 3, 7).is_constant()
+    assert not PrimeMVPoly.variable(p, 3, 3, 1).is_constant()
+
+
+def test_prime_cross_terms_match_monomial():
+    """Cross-term parity between the two representations, and the
+    defining identity P_hom(e1 + r e2) = P1 + sum r^k ct_k + r^D P2."""
+    p = P
+    rng = _random.Random(14)
+    N, D = 3, 3
+    m = MVPoly.random(rng, p, N, D)
+    pr = PrimeMVPoly.from_monomials(m)
+    e1 = [rng.randrange(p) for _ in range(N)]
+    e2 = [rng.randrange(p) for _ in range(N)]
+    u1, u2 = rng.randrange(1, p), rng.randrange(1, p)
+    ct_m = m.compute_cross_terms(e1, e2, u1, u2)
+    ct_p = pr.compute_cross_terms(e1, e2, u1, u2)
+    assert ct_m == ct_p
+    for _ in range(4):
+        r = rng.randrange(1, p)
+        lhs = m.homogeneous_eval(
+            [(a + r * b) % p for a, b in zip(e1, e2)], (u1 + r * u2) % p
+        )
+        rhs = m.homogeneous_eval(e1, u1)
+        for k, ck in ct_m.items():
+            rhs = (rhs + ck * pow(r, k, p)) % p
+        rhs = (rhs + pow(r, D, p) * m.homogeneous_eval(e2, u2)) % p
+        assert lhs == rhs
