@@ -154,6 +154,95 @@ class Runner:
                 self.positions.setdefault(v, []).append(_Position(row, colno))
         return row
 
+    def _gadget_rows(
+        self,
+        gates: List[CircuitGate],
+        cells: List[List[Optional[int]]],
+    ) -> int:
+        """Append pre-built gate rows whose cells are var ids (None =
+        unconstrained zero). Rows must be contiguous from the current
+        row; the gates' wires are rebased accordingly."""
+        base = len(self.gates)
+        for k, gate in enumerate(gates):
+            row = base + k
+            self.gates.append(
+                CircuitGate(gate.typ, new_wires(row), list(gate.coeffs))
+            )
+            filled = list(cells[k]) + [None] * (COLUMNS - len(cells[k]))
+            self.rows.append(filled)
+            for colno, v in enumerate(filled):
+                if v is not None:
+                    self.positions.setdefault(v, []).append(_Position(row, colno))
+        return base
+
+    # -- kimchi gadget constraints (constraint_system.rs:244
+    # KimchiConstraint::{Poseidon, EcAddComplete} compilation) -------------
+
+    def poseidon(self, params, inputs: List[FieldVar]) -> List[FieldVar]:
+        """Hash a width-3 state with the kimchi Poseidon gadget: 11
+        Poseidon gate rows + 1 output row (add_constraint Poseidon arm,
+        constraint_system.rs; gadget shape from polynomials/poseidon.rs)."""
+        from .polynomials import witness_gen as wg
+
+        assert len(inputs) == 3
+        in_vars = [self._single(x) for x in inputs]
+        # materialize exact input values (coeff * var + const)
+        in_vals = [
+            (c * self.values[v] + k) % self.p for (c, v, k) in in_vars
+        ]
+        gates, nxt = wg.create_poseidon_gadget(self.f, len(self.gates), params)
+        nrows = len(gates)
+        tmp = wg.new_witness(nrows)
+        wg.poseidon_witness(self.f, params, tmp, 0, in_vals)
+        cells: List[List[Optional[int]]] = []
+        for r in range(nrows):
+            cells.append([self._alloc(tmp[c][r]) for c in range(COLUMNS)])
+        # wire the caller's inputs into row 0 cols 0..2 via copy cycles:
+        # replace the fresh vars with the reduced input vars
+        for i, (coeff, v, k) in enumerate(in_vars):
+            if coeff == 1 and k == 0:
+                cells[0][i] = v
+            # else: keep the fresh var carrying the evaluated value and
+            # pin it to the lincom with one generic row
+            else:
+                fresh = cells[0][i]
+                self._generic_row(
+                    [v, fresh, None],
+                    [coeff, -1 % self.p, 0, 0, k],
+                )
+        self._gadget_rows(gates, cells)
+        out = cells[-1][:3]
+        return [FieldVar(self, {v: 1}) for v in out]
+
+    def ec_add_complete(
+        self, curve, p1: Tuple[FieldVar, FieldVar], p2: Tuple[FieldVar, FieldVar]
+    ) -> Tuple[FieldVar, FieldVar]:
+        """Complete EC addition gadget: one CompleteAdd row
+        (KimchiConstraint::EcAddComplete; polynomials/complete_add.rs).
+        Points must be distinct-or-equal affine non-infinity values."""
+        from .gate import GateType as GT
+        from .polynomials import witness_gen as wg
+
+        assert curve.base is self.f, (
+            "curve points must live over the circuit field (an Fp circuit "
+            "verifies Pallas point arithmetic, not Vesta)"
+        )
+        vars_in = [self._single(c) for pt in (p1, p2) for c in pt]
+        vals = [(c * self.values[v] + k) % self.p for (c, v, k) in vars_in]
+        a = (vals[0], vals[1])
+        b = (vals[2], vals[3])
+        tmp = wg.new_witness(1)
+        wg.complete_add_witness_row(curve, tmp, 0, a, b)
+        cells: List[Optional[int]] = [self._alloc(tmp[c][0]) for c in range(COLUMNS)]
+        for i, (coeff, v, k) in enumerate(vars_in):
+            if coeff == 1 and k == 0:
+                cells[i] = v
+            else:
+                self._generic_row([v, cells[i], None], [coeff, -1 % self.p, 0, 0, k])
+        gate = CircuitGate(GT.CompleteAdd, new_wires(0), [])
+        self._gadget_rows([gate], [cells])
+        return (FieldVar(self, {cells[4]: 1}), FieldVar(self, {cells[5]: 1}))
+
     # -- reduction (constraint_system.rs reduce_lincom) --------------------
 
     def _single(self, x: FieldVar) -> Tuple[int, int, int]:

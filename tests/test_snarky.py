@@ -97,3 +97,54 @@ def test_dsl_prove_verify():
     trimmed = [col[: n - cs.zk_rows] for col in witness]
     proof = create_proof(index, trimmed, TestRng(80))
     assert verify(index.verifier_index(), proof, rs.public_values(), TestRng(81))
+
+
+def test_dsl_poseidon_gadget():
+    """KimchiConstraint::Poseidon compilation (constraint_system.rs:244):
+    gadget output equals the host permutation; witness checks."""
+    from proof_systems_tpu.poseidon.permutation import poseidon_block_cipher_py
+
+    rs = Runner(Fp)
+    ins = [rs.exists(v) for v in (11, 22, 33)]
+    outs = rs.poseidon(fp_kimchi, ins)
+    want = [11, 22, 33]
+    poseidon_block_cipher_py(fp_kimchi, want)
+    assert [o.value() for o in outs] == want
+    # also hash a lincom input (exercises the pinning row)
+    outs2 = rs.poseidon(fp_kimchi, [ins[0] + 1, ins[1], ins[2].scale(2)])
+    want2 = [12, 22, 66]
+    poseidon_block_cipher_py(fp_kimchi, want2)
+    assert [o.value() for o in outs2] == want2
+    gates, witness = rs.finalize()
+    cs = ConstraintSystem.create(Fp, gates, public=0, max_poly_size=1 << 13)
+    cs.endo = Pallas.endos[0]
+    n = cs.domain.d1.n
+    for col in witness:
+        col.extend([0] * (n - len(col)))
+    check_witness(cs, witness, MDS)
+
+
+def test_dsl_ec_add_complete():
+    """KimchiConstraint::EcAddComplete compilation: result matches the
+    host curve law; witness checks (incl. copy wiring of inputs)."""
+    rng = random.Random(7)
+    g = Pallas.generator  # Pallas points live over Fp, the circuit field
+    p1 = Pallas.scalar_mul(rng.randrange(1, Pallas.scalar.p), g)
+    p2 = Pallas.scalar_mul(rng.randrange(1, Pallas.scalar.p), g)
+    want = Pallas.add(p1, p2)
+
+    rs = Runner(Fp)
+    x1, y1 = rs.exists(p1[0]), rs.exists(p1[1])
+    x2, y2 = rs.exists(p2[0]), rs.exists(p2[1])
+    x3, y3 = rs.ec_add_complete(Pallas, (x1, y1), (x2, y2))
+    assert (x3.value(), y3.value()) == want
+    # chain: (p1 + p2) + p2 reuses gadget outputs as inputs (copy wiring)
+    x4, y4 = rs.ec_add_complete(Pallas, (x3, y3), (x2, y2))
+    assert (x4.value(), y4.value()) == Pallas.add(want, p2)
+    gates, witness = rs.finalize()
+    cs = ConstraintSystem.create(Fp, gates, public=0, max_poly_size=1 << 13)
+    cs.endo = Pallas.endos[0]
+    n = cs.domain.d1.n
+    for col in witness:
+        col.extend([0] * (n - len(col)))
+    check_witness(cs, witness, MDS)
