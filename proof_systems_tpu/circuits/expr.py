@@ -211,6 +211,9 @@ class HostEvalContext:
     domain_n: int
     omega: int
     zk_rows: int
+    # row offset -> value; used when evaluating AT a domain point w^j,
+    # where the rational form (x^n-1)/(x-w^i) is 0/0 at j == i
+    lagrange_overrides: dict | None = None
 
 
 def eval_host(expr: Expr, ctx: HostEvalContext, memo: dict | None = None) -> int:
@@ -249,9 +252,12 @@ def eval_host(expr: Expr, ctx: HostEvalContext, memo: dict | None = None) -> int
         x = ctx.point
         i = expr.offset + (ctx.domain_n - ctx.zk_rows if expr.zk_anchored else 0)
         i %= ctx.domain_n
-        num = (pow(x, ctx.domain_n, p) - 1) % p
-        den = (x - pow(ctx.omega, i, p)) % p
-        v = num * pow(den, -1, p) % p
+        if ctx.lagrange_overrides is not None:
+            v = ctx.lagrange_overrides[i] % p
+        else:
+            num = (pow(x, ctx.domain_n, p) - 1) % p
+            den = (x - pow(ctx.omega, i, p)) % p
+            v = num * pow(den, -1, p) % p
     else:
         raise TypeError(f"unknown expr node {type(expr)}")
     memo[key] = v

@@ -93,6 +93,20 @@ class CurveParams:
         return acc
 
     def msm(self, scalars: list[int], points: list[AffinePoint]) -> AffinePoint:
+        """Host MSM: native Pippenger (native/pasta.cpp pc_msm) when the
+        C++ library is available, exact Python double-and-add otherwise
+        (the golden model — parity in tests/test_native.py)."""
+        assert len(scalars) == len(points)
+        if len(scalars) > 2:
+            from .native import native_curve
+
+            nat = native_curve(self)
+            if nat is not None:
+                s = self.scalar.p
+                return nat.msm([k % s for k in scalars], points)
+        return self.msm_py(scalars, points)
+
+    def msm_py(self, scalars: list[int], points: list[AffinePoint]) -> AffinePoint:
         acc: AffinePoint = None
         for k, pt in zip(scalars, points, strict=True):
             acc = self.add(acc, self.scalar_mul(k, pt))

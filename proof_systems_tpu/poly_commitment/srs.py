@@ -71,7 +71,8 @@ class SRS:
         self.g = g
         self.h = h
         self._g_dev: APoint | None = None
-        self._lagrange: dict[int, APoint] = {}
+        # (domain n) -> list of affine commit(L_i) for the first m rows
+        self._lagrange: dict[int, list] = {}
 
     @classmethod
     def create(cls, curve: CurveParams, depth: int) -> "SRS":
@@ -134,6 +135,44 @@ class SRS:
         rows = std.reshape(limb.NLIMBS, b * nchunks, n)
         results = msm.msm(self.curve, rows, self.g_dev)
         return [PolyComm(results[i * nchunks : (i + 1) * nchunks]) for i in range(b)]
+
+    def lagrange_commitments(self, domain, m: int) -> list:
+        """Commitments to the first m Lagrange basis polynomials of
+        `domain` (ipa.rs:648-660 get_lagrange_basis; here restricted to
+        the public rows, which is all the verifier consumes). Cached in
+        memory per domain size and on disk like the SRS points — the
+        verifier's public-input commitment becomes m host scalar-muls
+        instead of an n-point MSM (verifier.rs:833)."""
+        n = domain.n
+        have = self._lagrange.get(n)
+        if have is not None and len(have) >= m:
+            return have[:m]
+        path = CACHE_DIR / f"lagrange_{self.curve.name.lower()}_{n}_{m}.npy"
+        if path.exists():
+            arr = np.load(path, allow_pickle=True)
+            pts = [None if x is None else (int(x), int(y)) for x, y in arr]
+        else:
+            f = self.curve.scalar
+            inv_n = f.inv(n)
+            w_inv = f.inv(domain.group_gen)
+            rows = []
+            for i in range(m):
+                wi = pow(w_inv, i, f.p)
+                c = inv_n
+                row = []
+                for _ in range(n):
+                    row.append(c)
+                    c = c * wi % f.p
+                rows.append(row)
+            pts = msm.msm_host_scalars(self.curve, rows, self.g_dev)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            np.save(
+                path,
+                np.array([(None, None) if p is None else p for p in pts], dtype=object),
+                allow_pickle=True,
+            )
+        self._lagrange[n] = pts
+        return pts[:m]
 
     def mask(self, comm: PolyComm, blinders: list[int]) -> PolyComm:
         """Hiding: chunk_i + blinders_i * H (ipa.rs mask_custom)."""
