@@ -55,6 +55,13 @@ def _build() -> ctypes.CDLL | None:
     ]
     lib.ps_permute.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ps_free.argtypes = [ctypes.c_void_p]
+    lib.pc_new.restype = ctypes.c_void_p
+    lib.pc_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64]
+    lib.pc_free.argtypes = [ctypes.c_void_p]
+    lib.pc_msm.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+    ]
     return lib
 
 
@@ -107,6 +114,72 @@ class NativePoseidon:
                 self._lib.ps_free(self._ctx)
         except Exception:
             pass
+
+
+class NativeCurve:
+    """ctypes handle for one Pasta curve: Pippenger MSM over the host
+    (arkworks `msm_bigint` equivalent; serves the CPU MSM fallback and
+    the folding/IVC Pedersen commitments)."""
+
+    def __init__(self, curve) -> None:
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        p = curve.base.p
+        pinv = (-pow(p, -1, 1 << 64)) % (1 << 64)
+        r2 = pow(2, 512, p)
+        self._lib = lib
+        self._ctx = lib.pc_new(_le32(p), _le32(r2), pinv)
+        self.p = p
+
+    def msm(self, scalars: list[int], points) -> tuple[int, int] | None:
+        """points: list of affine (x, y) tuples or None (infinity)."""
+        n = len(scalars)
+        assert n == len(points)
+        if n == 0:
+            return None
+        sbuf = b"".join(_le32(s) for s in scalars)  # canonical, < 2^255
+        pbuf = bytearray(64 * n)
+        inf = bytearray(n)
+        for i, pt in enumerate(points):
+            if pt is None:
+                inf[i] = 1
+            else:
+                pbuf[64 * i : 64 * i + 32] = _le32(pt[0])
+                pbuf[64 * i + 32 : 64 * i + 64] = _le32(pt[1])
+        out = ctypes.create_string_buffer(65)
+        self._lib.pc_msm(self._ctx, n, sbuf, bytes(pbuf), bytes(inf), out)
+        raw = out.raw
+        if raw[64]:
+            return None
+        return (
+            int.from_bytes(raw[0:32], "little"),
+            int.from_bytes(raw[32:64], "little"),
+        )
+
+    def __del__(self):
+        try:
+            if getattr(self, "_ctx", None):
+                self._lib.pc_free(self._ctx)
+        except Exception:
+            pass
+
+
+_CURVES: dict[str, NativeCurve] = {}
+
+
+def native_curve(curve) -> NativeCurve | None:
+    """Cached per-curve native MSM, or None when unavailable."""
+    if _lib() is None:
+        return None
+    c = _CURVES.get(curve.name)
+    if c is None:
+        try:
+            c = NativeCurve(curve)
+        except Exception:
+            return None
+        _CURVES[curve.name] = c
+    return c
 
 
 _SPONGES: dict[str, NativePoseidon] = {}

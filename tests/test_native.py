@@ -36,3 +36,36 @@ def test_dispatch_equals_golden():
     poseidon_block_cipher(fp_kimchi, a)
     poseidon_block_cipher_py(fp_kimchi, b)
     assert a == b
+
+
+def test_native_msm_parity():
+    """pc_msm Pippenger vs the exact Python double-and-add golden model,
+    incl. zero scalars, infinity points, both curves."""
+    import random
+
+    from proof_systems_tpu.curves import Pallas, Vesta
+    from proof_systems_tpu.native import native_curve
+
+    rng = random.Random(77)
+    for curve in (Vesta, Pallas):
+        if native_curve(curve) is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        for n in (3, 17, 64):
+            g = curve.generator
+            pts = [
+                curve.scalar_mul(rng.randrange(1, curve.scalar.p), g)
+                for _ in range(n)
+            ]
+            ks = [rng.randrange(curve.scalar.p) for _ in range(n)]
+            pts[0] = None
+            ks[1] = 0
+            assert curve.msm(ks, pts) == curve.msm_py(ks, pts)
+
+
+def test_native_msm_all_infinity():
+    from proof_systems_tpu.curves import Vesta
+
+    assert Vesta.msm([1, 2, 3], [None, None, None]) is None
+    assert Vesta.msm([0, 0, 0], [Vesta.generator] * 3) is None
