@@ -43,9 +43,23 @@ def _digits(scalars: jax.Array, c: int, w: int) -> jax.Array:
     return (v & ((1 << c) - 1)).astype(jnp.int32)
 
 
+def _ec_prefix(curve: DeviceCurve, pts: JPoint, n: int, ident: JPoint) -> JPoint:
+    """Inclusive Jacobian prefix scan along the last axis.
+
+    On TPU the whole two-level blocked scan runs inside one pallas
+    kernel (the XLA blocked scan is launch-bound: ~145 sequential EC-add
+    dispatches x ~0.25 ms per MSM call)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from . import pallas_field
+
+        x, y, z = pallas_field.ec_prefix_scan_fused(curve.F, pts.x, pts.y, pts.z)
+        return JPoint(x, y, z)
+    return blocked_prefix_scan(lambda p, q: curve.add(p, q), ident, pts, n)
+
+
 def _scan_sum(curve: DeviceCurve, pts: JPoint, n: int, ident: JPoint) -> JPoint:
     """Sum along the last axis via prefix scan; returns batch (..., 1)."""
-    pref = blocked_prefix_scan(lambda p, q: curve.add(p, q), ident, pts, n)
+    pref = _ec_prefix(curve, pts, n, ident)
     return JPoint(pref.x[..., -1:], pref.y[..., -1:], pref.z[..., -1:])
 
 
@@ -145,7 +159,7 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     jac = JPoint(px, py, pz)
 
     ident = curve.inf_jacobian((windows, b, 1))
-    cum = blocked_prefix_scan(lambda p, q: curve.add(p, q), ident, jac, n)
+    cum = _ec_prefix(curve, jac, n, ident)
     # prepend identity so cum_ext[..., j] = sum of first j points
     cum_ext = JPoint(
         jnp.concatenate([ident.x, cum.x], axis=-1),
@@ -171,7 +185,7 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     rev = JPoint(
         buckets.x[..., 1:][..., ::-1], buckets.y[..., 1:][..., ::-1], buckets.z[..., 1:][..., ::-1]
     )
-    suf = blocked_prefix_scan(lambda p, q: curve.add(p, q), ident, rev, nbuckets - 1)
+    suf = _ec_prefix(curve, rev, nbuckets - 1, ident)
     win = _scan_sum(curve, suf, nbuckets - 1, ident)  # (.., W, b, 1)
     return JPoint(win.x[..., 0], win.y[..., 0], win.z[..., 0])
 

@@ -671,3 +671,119 @@ def endo_inv_fused(F: DeviceField, endo: int, bits):
         interpret=_interpret(),
     )(bits, ebits)
     return out[:, 0:1, 0], out[:, 1:2, 0]
+
+
+# ---------------------------------------------------------------------------
+# Fused EC prefix scan. Pippenger bucket accumulation needs cumulative
+# Jacobian sums along the sorted-point axis (ops/msm.py); the XLA blocked
+# scan pays ~0.2-0.3 ms of launch overhead per sequential EC-add step
+# (~145 steps per MSM call = ~45 ms, launch-bound: the adds themselves
+# are ~3 ms of compute at the fused kernel's ~90M adds/s). This kernel
+# runs the whole two-level blocked scan inside one pallas_call:
+#   - positions laid out lane-major (segment l = lanes), statically
+#     unrolled inner scan along the C chunk axis,
+#   - Hillis-Steele across the 128 lane segment-totals (7 shifted adds;
+#     the identity z=0 shifts in as neutral),
+#   - one vectorized combine of exclusive lane offsets into all chunks.
+# ---------------------------------------------------------------------------
+
+
+def _ec_scan_kernel(F: DeviceField, C: int):
+    """Kernel body. Refs are (C, 16, bg, 128): the chunk axis is the
+    OUTERMOST dim so the sequential chunk scan indexes it dynamically
+    (plain address offsets); the EC add is traced once per phase (9
+    traced adds total) to keep trace/compile time bounded."""
+
+    def kernel(x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
+        def rd(c):
+            return (x_ref[c], y_ref[c], z_ref[c])  # (16, bg, 128)
+
+        def wr(c, t):
+            ox_ref[c] = t[0]
+            oy_ref[c] = t[1]
+            oz_ref[c] = t[2]
+
+        # 1. inclusive scan along the chunk axis (EC add traced ONCE)
+        wr(0, rd(0))
+
+        def chunk_body(c, carry):
+            nxt = _kv_ec_add(F, carry, rd(c))
+            wr(c, nxt)
+            return nxt
+
+        tot = jax.lax.fori_loop(1, C, chunk_body, rd(0)) if C > 1 else rd(0)
+
+        # 2. Hillis-Steele across the 128 lane segment-totals (static
+        # shifts; shifted-in zeros have z=0 = the group identity)
+        def shift_lanes(t, s):
+            def sh(a):
+                return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(s, 0)])[..., :LANE]
+
+            return (sh(t[0]), sh(t[1]), sh(t[2]))
+
+        s = 1
+        while s < LANE:
+            tot = _kv_ec_add(F, tot, shift_lanes(tot, s))
+            s *= 2
+        excl = shift_lanes(tot, 1)  # exclusive lane prefix
+
+        # 3. combine lane offsets into every chunk (EC add traced once)
+        def comb_body(c, excl):
+            wr(c, _kv_ec_add(F, excl, (ox_ref[c], oy_ref[c], oz_ref[c])))
+            return excl
+
+        jax.lax.fori_loop(0, C, comb_body, excl)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ec_prefix_scan_fused(F: DeviceField, x, y, z):
+    """Inclusive Jacobian prefix scan along the LAST axis.
+
+    x/y/z: (16, *batch, n) Montgomery limbs (z == 0 marks infinity).
+    Returns same-shaped inclusive prefixes. Semantically identical to
+    ops/scan.blocked_prefix_scan over DeviceCurve.add.
+    """
+    shape = x.shape
+    n = shape[-1]
+    B = 1
+    for d in shape[1:-1]:
+        B *= d
+    C = -(-n // LANE)
+    npad = C * LANE
+
+    def prep(a):
+        a = a.reshape(NLIMBS, B, n)
+        if npad != n:
+            a = jnp.pad(a, [(0, 0), (0, 0), (0, npad - n)])
+        # lane-major segments: position j = l*C + c -> [c, :, :, l]
+        return a.reshape(NLIMBS, B, LANE, C).transpose(3, 0, 1, 2)
+
+    xs, ys, zs = prep(x), prep(y), prep(z)
+    # grid over the batch so a block stays within VMEM
+    bg = max(1, min(B, 136 // C))
+    while B % bg:
+        bg -= 1
+    grid = (B // bg,)
+    spec = pl.BlockSpec(
+        (C, NLIMBS, bg, LANE), lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((C, NLIMBS, B, LANE), jnp.uint32) for _ in range(3)
+    )
+    ox, oy, oz = pl.pallas_call(
+        _ec_scan_kernel(F, C),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(xs, ys, zs)
+
+    def unprep(a):
+        a = a.transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)[:, :, :n]
+        return a.reshape(shape)
+
+    return unprep(ox), unprep(oy), unprep(oz)

@@ -180,3 +180,41 @@ def test_combine_windows_fused_parity():
             acc = curve.add(acc, term)
         want.append(acc)
     assert got == want
+
+
+@pytest.mark.heavy
+@pytest.mark.skipif(
+    __import__("os").environ.get("PST_TPU_PARITY") != "1",
+    reason="XLA CPU compile of the unrolled scan body exceeds 9 min; "
+    "parity is checked on real TPU (scripts/tpu_parity.py, run each "
+    "round) where mosaic compiles it in seconds",
+)
+def test_ec_prefix_scan_fused_parity():
+    """Fused in-kernel blocked scan vs host cumulative point sums."""
+    curve = Vesta
+    dc = device_curve(curve)
+    rng = random.Random(51)
+    B, n = 2, 7
+    rows = []
+    for _ in range(B):
+        pts = [
+            curve.scalar_mul(rng.randrange(1, curve.scalar.p), curve.generator)
+            for _ in range(n)
+        ]
+        pts[3] = None  # identity in the middle
+        rows.append(pts)
+    import jax.numpy as jnp
+
+    packed = [dc.to_jacobian(dc.pack_affine(r)) for r in rows]
+    x = jnp.stack([p.x for p in packed], axis=1)
+    y = jnp.stack([p.y for p in packed], axis=1)
+    z = jnp.stack([p.z for p in packed], axis=1)
+    ox, oy, oz = pf.ec_prefix_scan_fused(dc.F, x, y, z)
+    for j in range(B):
+        got = dc.unpack_jacobian(JPoint(ox[:, j], oy[:, j], oz[:, j]))
+        acc = None
+        want = []
+        for ptv in rows[j]:
+            acc = curve.add(acc, ptv)
+            want.append(acc)
+        assert got == want
