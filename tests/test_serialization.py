@@ -117,3 +117,27 @@ def test_verifier_index_file_roundtrip_with_lookup(tmp_path):
     assert li2.lookup_info.patterns == li.lookup_info.patterns
     assert li2.joint_lookup_used == li.joint_lookup_used
     assert set(li2.lookup_selectors) == set(li.lookup_selectors)
+
+
+def test_proof_golden_bytes():
+    """Wire-format lock: the serialized proof of a fixed circuit with a
+    deterministic rng must be byte-identical to the committed fixture
+    (kimchi/src/tests/serde.rs:38-57 analogue; with no rustc in this
+    environment the fixture is this framework's own locked bytes, so any
+    accidental format change fails loudly). Regenerate deliberately with
+    PST_REGEN_FIXTURES=1."""
+    import hashlib
+    import os
+    import pathlib
+
+    fixture = pathlib.Path(__file__).parent / "vectors" / "proof_2^5.bin"
+    index = make_index(22, 32)
+    proof = create_proof(index, bench_witness(22), TestRng(5))
+    raw = serialize_proof(Vesta, proof)
+    if os.environ.get("PST_REGEN_FIXTURES") == "1" or not fixture.exists():
+        fixture.write_bytes(raw)
+    want = fixture.read_bytes()
+    assert hashlib.sha256(raw).hexdigest() == hashlib.sha256(want).hexdigest(), (
+        "proof wire format changed; if intentional, regenerate with "
+        "PST_REGEN_FIXTURES=1 and note the break in the commit message"
+    )
