@@ -58,7 +58,23 @@ def _ec_prefix(curve: DeviceCurve, pts: JPoint, n: int, ident: JPoint) -> JPoint
 
 
 def _scan_sum(curve: DeviceCurve, pts: JPoint, n: int, ident: JPoint) -> JPoint:
-    """Sum along the last axis via prefix scan; returns batch (..., 1)."""
+    """Sum along the last axis via prefix scan; returns batch (..., 1).
+
+    On TPU only scan phases 1-2 run (ec_prefix_scan_parts): the total is
+    lane-127's exclusive offset + the last chunk partial — the per-
+    position combine phase (~45% of the fused scan) is skipped."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from . import pallas_field
+
+        (px, py, pz), (ex, ey, ez), _C = pallas_field.ec_prefix_scan_parts(
+            curve.F, pts.x, pts.y, pts.z
+        )
+        x, y, z = pallas_field.jacobian_add(
+            curve.F,
+            ex[..., -1:], ey[..., -1:], ez[..., -1:],
+            px[..., -1:], py[..., -1:], pz[..., -1:],
+        )
+        return JPoint(x, y, z)
     pref = _ec_prefix(curve, pts, n, ident)
     return JPoint(pref.x[..., -1:], pref.y[..., -1:], pref.z[..., -1:])
 
@@ -141,7 +157,10 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     """All per-window Pippenger partial sums, one traced graph.
 
     scalars: (16, b, n) canonical (NON-Montgomery) limbs.
-    points:  APoint with leaves (16, n) / (n,), shared across the b MSMs.
+    points:  APoint with leaves (16, n) / (n,) shared across the b MSMs,
+             OR (16, b, n) / (b, n) for per-batch point sets (used by the
+             compacted IPA rounds, where L and R address complementary
+             halves of the basis).
     Returns JPoint with batch shape (W, b): window w partial sum of MSM b.
     """
     b, n = scalars.shape[1], scalars.shape[2]
@@ -151,22 +170,27 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     digits = jnp.stack([_digits(scalars, c, w) for w in range(windows)], axis=0)  # (W, b, n)
     order = jnp.argsort(digits, axis=-1)
     sdig = jnp.take_along_axis(digits, order, axis=-1)
-    px = jnp.take(points.x, order, axis=1)  # (16, W, b, n)
-    py = jnp.take(points.y, order, axis=1)
-    pinf = points.inf[order]  # (W, b, n)
+    if points.x.ndim == 3:  # per-batch point sets
+        shape4 = (limb.NLIMBS, windows, b, n)
+        px = jnp.take_along_axis(
+            jnp.broadcast_to(points.x[:, None], shape4), order[None], axis=-1
+        )
+        py = jnp.take_along_axis(
+            jnp.broadcast_to(points.y[:, None], shape4), order[None], axis=-1
+        )
+        pinf = jnp.take_along_axis(
+            jnp.broadcast_to(points.inf[None], (windows, b, n)), order, axis=-1
+        )
+    else:
+        px = jnp.take(points.x, order, axis=1)  # (16, W, b, n)
+        py = jnp.take(points.y, order, axis=1)
+        pinf = points.inf[order]  # (W, b, n)
     one = curve.F.one_mont((windows, b, n))
     pz = limb.select(pinf, curve.F.zeros((windows, b, n)), one)
     jac = JPoint(px, py, pz)
 
     ident = curve.inf_jacobian((windows, b, 1))
-    cum = _ec_prefix(curve, jac, n, ident)
-    # prepend identity so cum_ext[..., j] = sum of first j points
-    cum_ext = JPoint(
-        jnp.concatenate([ident.x, cum.x], axis=-1),
-        jnp.concatenate([ident.y, cum.y], axis=-1),
-        jnp.concatenate([ident.z, cum.z], axis=-1),
-    )
-    # ends[d] = #elements with digit <= d  (index into cum_ext)
+    # ends[d] = #elements with digit <= d  (prefix boundary index)
     counts = jax.vmap(lambda dd: jnp.bincount(dd, length=nbuckets))(
         sdig.reshape(windows * b, n)
     ).reshape(windows, b, nbuckets)
@@ -178,8 +202,41 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
             arr, jnp.broadcast_to(idx[None], (limb.NLIMBS, *idx.shape)), axis=-1
         )
 
-    hi = JPoint(gather(cum_ext.x, ends), gather(cum_ext.y, ends), gather(cum_ext.z, ends))
-    lo = JPoint(gather(cum_ext.x, idx_lo), gather(cum_ext.y, idx_lo), gather(cum_ext.z, idx_lo))
+    if jax.default_backend() in ("tpu", "axon"):
+        # Scan phases 1-2 only (ec_prefix_scan_parts); reconstruct the
+        # 2*2^c bucket-boundary prefix values cum[t] = sum of first t
+        # points as excl[l] + partial[j] (j = t-1, l = j // C) — one
+        # elementwise EC add per boundary instead of the full
+        # per-position combine phase (~45% of the fused scan's adds).
+        from . import pallas_field
+
+        (qx, qy, qz), (ex, ey, ez), C = pallas_field.ec_prefix_scan_parts(
+            curve.F, jac.x, jac.y, jac.z
+        )
+
+        def cum_at(t):
+            j = jnp.maximum(t, 1) - 1
+            l = j // C
+            gj = JPoint(gather(qx, j), gather(qy, j), gather(qz, j))
+            hl = JPoint(gather(ex, l), gather(ey, l), gather(ez, l))
+            x, y, z = pallas_field.jacobian_add(
+                curve.F, hl.x, hl.y, hl.z, gj.x, gj.y, gj.z
+            )
+            z = limb.select(t == 0, jnp.zeros_like(z), z)
+            return JPoint(x, y, z)
+
+        hi = cum_at(ends)
+        lo = cum_at(idx_lo)
+    else:
+        cum = _ec_prefix(curve, jac, n, ident)
+        # prepend identity so cum_ext[..., j] = sum of first j points
+        cum_ext = JPoint(
+            jnp.concatenate([ident.x, cum.x], axis=-1),
+            jnp.concatenate([ident.y, cum.y], axis=-1),
+            jnp.concatenate([ident.z, cum.z], axis=-1),
+        )
+        hi = JPoint(gather(cum_ext.x, ends), gather(cum_ext.y, ends), gather(cum_ext.z, ends))
+        lo = JPoint(gather(cum_ext.x, idx_lo), gather(cum_ext.y, idx_lo), gather(cum_ext.z, idx_lo))
     buckets = curve.add(hi, curve.neg(lo))  # (.., W, b, D)
     # drop bucket 0; weighted sum over d = 1..D-1 via suffix scan + total
     rev = JPoint(
@@ -191,13 +248,21 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
 
 
 def default_window_bits(n: int) -> int:
-    if n <= 1 << 8:
-        return 6
-    if n <= 1 << 12:
-        return 9
-    if n <= 1 << 16:
-        return 12
-    return 13
+    """Window size minimizing the device tile-add cost model of
+    _window_sums_body's TPU path: per window, the main scan runs phases
+    1-2 ((C-1)+7 tile-adds), boundary reconstruction is 3 elementwise
+    adds over the 2^c buckets, and the bucket reduction pays a full
+    suffix scan (2C'+6) plus a phases-1-2 sum (C'+7)."""
+    best, best_cost = 6, None
+    C = -(-n // 128)
+    for c in range(6, 14):
+        W = -(-255 // c)
+        D = 1 << c
+        Cb = -(-D // 128)
+        cost = W * ((C - 1 + 7) + 3 * Cb + (2 * Cb + 6) + (Cb + 7))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
 
 
 def msm(curve_params: CurveParams, scalars_std: jax.Array, points: APoint, c: int | None = None):

@@ -737,6 +737,118 @@ def _ec_scan_kernel(F: DeviceField, C: int):
     return kernel
 
 
+def _ec_parts_kernel(F: DeviceField, C: int):
+    """Phases 1-2 of the blocked scan only (no per-position combine).
+
+    Outputs: partial (C, 16, bg, 128) inclusive chunk-scan values and
+    excl (16, bg, 128) EXCLUSIVE lane offsets, so the inclusive prefix of
+    position j = l*C + c is excl[l] + partial[c, l]. Callers that only
+    need a few prefix values (Pippenger bucket boundaries: 2*2^c of n)
+    gather from these and pay ONE elementwise EC add per gathered value
+    instead of the full phase-3 combine (C tile-adds over every
+    position — ~45%% of the scan's work)."""
+
+    def kernel(x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref, ex_ref, ey_ref, ez_ref):
+        def rd(c):
+            return (x_ref[c], y_ref[c], z_ref[c])
+
+        def wr(c, t):
+            ox_ref[c] = t[0]
+            oy_ref[c] = t[1]
+            oz_ref[c] = t[2]
+
+        wr(0, rd(0))
+
+        def chunk_body(c, carry):
+            nxt = _kv_ec_add(F, carry, rd(c))
+            wr(c, nxt)
+            return nxt
+
+        tot = jax.lax.fori_loop(1, C, chunk_body, rd(0)) if C > 1 else rd(0)
+
+        def shift_lanes(t, s):
+            def sh(a):
+                return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(s, 0)])[..., :LANE]
+
+            return (sh(t[0]), sh(t[1]), sh(t[2]))
+
+        # exclusive Hillis-Steele over the lane totals
+        tot = shift_lanes(tot, 1)
+        s = 1
+        while s < LANE:
+            tot = _kv_ec_add(F, tot, shift_lanes(tot, s))
+            s *= 2
+        ex_ref[...] = tot[0]
+        ey_ref[...] = tot[1]
+        ez_ref[...] = tot[2]
+
+    return kernel
+
+
+def ec_prefix_scan_parts(F: DeviceField, x, y, z):
+    """Blocked-scan PARTS along the last axis (see _ec_parts_kernel).
+
+    x/y/z: (16, *batch, n) Montgomery Jacobian limbs (z == 0 = identity).
+    Returns (partial, excl, C): partial leaves are (16, *batch, n_pad)
+    position-indexed like the input (n padded up to C*128, identity
+    padding); excl leaves are (16, *batch, 128) per-lane exclusive
+    offsets. The inclusive prefix of position j is
+    excl[.., j // C] + partial[.., j].
+    """
+    shape = x.shape
+    n = shape[-1]
+    B = 1
+    for d in shape[1:-1]:
+        B *= d
+    C = -(-n // LANE)
+    npad = C * LANE
+
+    def prep(a):
+        a = a.reshape(NLIMBS, B, n)
+        if npad != n:
+            a = jnp.pad(a, [(0, 0), (0, 0), (0, npad - n)])
+        return a.reshape(NLIMBS, B, LANE, C).transpose(3, 0, 1, 2)
+
+    xs, ys, zs = prep(x), prep(y), prep(z)
+    bg = max(1, min(B, 136 // C))
+    while B % bg:
+        bg -= 1
+    grid = (B // bg,)
+    spec = pl.BlockSpec(
+        (C, NLIMBS, bg, LANE), lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+    espec = pl.BlockSpec(
+        (NLIMBS, bg, LANE), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((C, NLIMBS, B, LANE), jnp.uint32) for _ in range(3)
+    ) + tuple(
+        jax.ShapeDtypeStruct((NLIMBS, B, LANE), jnp.uint32) for _ in range(3)
+    )
+    ox, oy, oz, ex, ey, ez = pl.pallas_call(
+        _ec_parts_kernel(F, C),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec, spec, espec, espec, espec),
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(xs, ys, zs)
+
+    def unprep(a):
+        # (C, 16, B, L) -> (16, *batch, L*C), position-indexed (j = l*C + c)
+        a = a.transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)
+        return a.reshape((NLIMBS, *shape[1:-1], npad))
+
+    def unprep_e(a):
+        return a.reshape((NLIMBS, *shape[1:-1], LANE))
+
+    partial = (unprep(ox), unprep(oy), unprep(oz))
+    excl = (unprep_e(ex), unprep_e(ey), unprep_e(ez))
+    return partial, excl, C
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def ec_prefix_scan_fused(F: DeviceField, x, y, z):
     """Inclusive Jacobian prefix scan along the LAST axis.

@@ -405,13 +405,19 @@ def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _ipa_all_rounds(
-    F, Fq, curve, rounds, c, endo_r, sponge_rounds,
-    a, b, g_ext, rand_lr_all, state0, rc_flat, mds_flat,
+    F, Fq, curve, rounds, c_half, c_full, endo_r, sponge_rounds,
+    a, b, g_dev, extra, rand_lr_all, state0, rc_flat, mds_flat,
 ):
     """All folding rounds fused. Returns (lr_packed (rounds, 33, 2),
     g0_packed (33, 2), a0 (16, 1), b0 (16, 1)).
+
+    Round k's L (resp. R) commitment only touches the n/2 basis points
+    whose index has bit_k == 0 (resp. 1), so each round's MSM is COMPACT:
+    the active half of g is gathered per round (per-batch point sets in
+    _window_sums_body) — half the EC-scan work of the earlier full-size
+    masked-scalar formulation, still ONE fixed MSM shape for all rounds.
 
     The per-round transcript math (sponge permutations, endo expansion,
     challenge inverse) runs in two fused pallas kernels per round
@@ -420,7 +426,10 @@ def _ipa_all_rounds(
     from ..ops import pallas_field
 
     n = a.shape[-1]
+    half = n // 2
     i_arr = jnp.arange(n, dtype=jnp.uint32)
+    j_arr = jnp.arange(half, dtype=jnp.uint32)
+    one_u = jnp.uint32(1)
     zeros_n = F.zeros((n,))
     mask0 = F.one_mont((n,))
     lr0 = jnp.zeros((rounds, 33, 2), dtype=jnp.uint32)
@@ -444,17 +453,38 @@ def _ipa_all_rounds(
         ip_l = ntt.sum_mod(F, prod_l)
         ip_r = ntt.sum_mod(F, prod_r)
 
-        w_l = limb.select(bit_k, zeros_n, limb.mont_mul(F, mask, a_hi_t))
-        w_r = limb.select(bit_k, limb.mont_mul(F, mask, a_lo_t), zeros_n)
+        # compact index sets: idx_L = sorted {i : bit_k(i) = 0} (insert a
+        # 0 bit at position `shift`), idx_R = the complementary half
+        lowbits = j_arr & ((one_u << shift) - one_u)
+        idx_L = ((j_arr >> shift) << (shift + one_u)) | lowbits
+        idx_R = idx_L | (one_u << shift)
+
+        w_l = jnp.take(limb.mont_mul(F, mask, a_hi_t), idx_L, axis=-1)
+        w_r = jnp.take(limb.mont_mul(F, mask, a_lo_t), idx_R, axis=-1)
         body_s = limb.from_mont(F, jnp.stack([w_l, w_r], axis=1))
         ips = limb.from_mont(F, jnp.stack([ip_l, ip_r], axis=1))
         rand_k = jax.lax.dynamic_index_in_dim(
             rand_lr_all, k, axis=1, keepdims=False
         )  # (16, 2, 1)
-        scal = jnp.concatenate([body_s, rand_k, ips], axis=-1)  # (16, 2, n+2)
+        scal = jnp.concatenate([body_s, rand_k, ips], axis=-1)  # (16, 2, half+2)
 
-        wins = msm._window_sums_body(curve, scal, g_ext, c)
-        comb = msm._combine_windows_body(curve, c, wins)
+        def pts_row(idx):
+            return (
+                jnp.concatenate([jnp.take(g_dev.x, idx, axis=-1), extra.x], axis=-1),
+                jnp.concatenate([jnp.take(g_dev.y, idx, axis=-1), extra.y], axis=-1),
+                jnp.concatenate([jnp.take(g_dev.inf, idx, axis=-1), extra.inf], axis=-1),
+            )
+
+        lx, ly, li = pts_row(idx_L)
+        rx, ry, ri = pts_row(idx_R)
+        pts = APoint(
+            jnp.stack([lx, rx], axis=1),
+            jnp.stack([ly, ry], axis=1),
+            jnp.stack([li, ri], axis=0),
+        )
+
+        wins = msm._window_sums_body(curve, scal, pts, c_half)
+        comb = msm._combine_windows_body(curve, c_half, wins)
         aff = curve.to_affine(comb)
         xs = limb.select(aff.inf, F.zeros((2,)), aff.x)
         ys = limb.select(aff.inf, F.zeros((2,)), aff.y)
@@ -481,14 +511,10 @@ def _ipa_all_rounds(
         0, rounds, round_body, (a, b, mask0, state0, lr0)
     )
 
-    # sg = <mask_final, g>: same MSM shape as the rounds (pad 2 zeros)
-    mask_s = limb.from_mont(F, mask)
-    scal_g0 = jnp.concatenate(
-        [mask_s, jnp.zeros((limb.NLIMBS, 2), dtype=jnp.uint32)], axis=-1
-    )
-    scal_g0 = jnp.stack([scal_g0, jnp.zeros_like(scal_g0)], axis=1)
-    wins = msm._window_sums_body(curve, scal_g0, g_ext, c)
-    comb = msm._combine_windows_body(curve, c, wins)
+    # sg = <mask_final, g> over the full original basis
+    mask_s = limb.from_mont(F, mask)[:, None, :]  # (16, 1, n)
+    wins = msm._window_sums_body(curve, mask_s, g_dev, c_full)
+    comb = msm._combine_windows_body(curve, c_full, wins)
     aff = curve.to_affine(comb)
     g0_packed = jnp.concatenate(
         [aff.x, aff.y, aff.inf.astype(jnp.uint32)[None]], axis=0
@@ -510,11 +536,6 @@ def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=Non
     n = len(srs.g)
 
     extra = dc.pack_affine([srs.h, u_base])
-    g_ext = APoint(
-        jnp.concatenate([srs.g_dev.x, extra.x], axis=-1),
-        jnp.concatenate([srs.g_dev.y, extra.y], axis=-1),
-        jnp.concatenate([srs.g_dev.inf, extra.inf], axis=-1),
-    )
     blinders = [(rng.field(f.p), rng.field(f.p)) for _ in range(rounds)]
     flat = [v for lrpair in blinders for v in lrpair]
     rand_all = F.pack(flat, shape=(rounds, 2))[..., None]  # (16, rounds, 2, 1)
@@ -550,10 +571,11 @@ def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=Non
         ).reshape(-1)
     )
 
-    c = msm.default_window_bits(n + 2)
+    c_half = msm.default_window_bits(n // 2 + 2)
+    c_full = msm.default_window_bits(n)
     lr_packed, g0_packed, a0_arr, b0_arr = _ipa_all_rounds(
-        F, Fq, dc, rounds, c, curve.endos[1], nrc,
-        a, b_arr, g_ext, rand_all, state0, rc_flat, mds_flat,
+        F, Fq, dc, rounds, c_half, c_full, curve.endos[1], nrc,
+        a, b_arr, srs.g_dev, extra, rand_all, state0, rc_flat, mds_flat,
     )
     host = jax.device_get((lr_packed, g0_packed, a0_arr, b0_arr))
     lr_packed, g0_packed, a0_arr, b0_arr = host

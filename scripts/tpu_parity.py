@@ -51,6 +51,92 @@ def main() -> int:
                 print(f"MISMATCH B={B} n={n} row={j}")
                 failures += 1
     print("ec_prefix_scan_fused parity:", "FAIL" if failures else "OK")
+
+    # -- parts kernel: reconstruct the inclusive prefix on host ------------
+    for B, n in ((2, 7), (3, 300)):
+        rows = []
+        for _ in range(B):
+            pts = [
+                curve.scalar_mul(rng.randrange(1, curve.scalar.p), curve.generator)
+                for _ in range(n)
+            ]
+            pts[1] = None
+            rows.append(pts)
+        packed = [dc.to_jacobian(dc.pack_affine(r)) for r in rows]
+        x = jnp.stack([p.x for p in packed], axis=1)
+        y = jnp.stack([p.y for p in packed], axis=1)
+        z = jnp.stack([p.z for p in packed], axis=1)
+        (qx, qy, qz), (ex, ey, ez), C = pf.ec_prefix_scan_parts(dc.F, x, y, z)
+        for j in range(B):
+            part = dc.unpack_jacobian(JPoint(qx[:, j], qy[:, j], qz[:, j]))
+            excl = dc.unpack_jacobian(JPoint(ex[:, j], ey[:, j], ez[:, j]))
+            acc = None
+            want = []
+            for ptv in rows[j]:
+                acc = curve.add(acc, ptv)
+                want.append(acc)
+            got = [
+                curve.add(excl[i // C], part[i]) for i in range(n)
+            ]
+            if got != want:
+                print(f"PARTS MISMATCH B={B} n={n} row={j}")
+                failures += 1
+    print("ec_prefix_scan_parts parity:", "FAIL" if failures else "OK")
+
+    # -- full MSM (boundary-gather bucket path) vs host Pippenger ----------
+    from proof_systems_tpu.ops import limb, msm
+
+    for b, n in ((1, 64), (3, 257)):
+        scal = [[rng.randrange(curve.scalar.p) for _ in range(n)] for _ in range(b)]
+        pts = [
+            curve.scalar_mul(rng.randrange(1, curve.scalar.p), curve.generator)
+            for _ in range(n)
+        ]
+        pts[2] = None
+        got = msm.msm_host_scalars(curve, scal, dc.pack_affine(pts))
+        want = [curve.msm(row, pts) for row in scal]
+        if got != want:
+            print(f"MSM MISMATCH b={b} n={n}")
+            failures += 1
+    print("msm boundary-gather parity:", "FAIL" if failures else "OK")
+
+    # -- per-batch point sets: each MSM row over its own basis --------------
+    b, n, c = 2, 33, 6
+    scal_rows = [[rng.randrange(curve.scalar.p) for _ in range(n)] for _ in range(b)]
+    pt_rows = [
+        [
+            curve.scalar_mul(rng.randrange(1, curve.scalar.p), curve.generator)
+            for _ in range(n)
+        ]
+        for _ in range(b)
+    ]
+    pt_rows[1][4] = None
+    scal_dev = jnp.asarray(
+        limb.ints_to_limbs([s for row in scal_rows for s in row], shape=(b, n))
+    )
+    packed_rows = [dc.pack_affine(r) for r in pt_rows]
+    pts_dev = type(packed_rows[0])(
+        jnp.stack([p.x for p in packed_rows], axis=1),
+        jnp.stack([p.y for p in packed_rows], axis=1),
+        jnp.stack([p.inf for p in packed_rows], axis=0),
+    )
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnums=(0, 3))
+    def _msm_pb(curve_, s, p, c_):
+        wins = msm._window_sums_body(curve_, s, p, c_)
+        comb = msm._combine_windows_body(curve_, c_, wins)
+        aff = curve_.to_affine(comb)
+        return jnp.concatenate(
+            [aff.x, aff.y, aff.inf.astype(jnp.uint32)[None]], axis=0
+        )
+
+    got = msm._decode_packed_affine(dc, _msm_pb(dc, scal_dev, pts_dev, c))
+    want = [curve.msm(s, p) for s, p in zip(scal_rows, pt_rows)]
+    if got != want:
+        print("PER-BATCH MSM MISMATCH")
+        failures += 1
+    print("per-batch-points msm parity:", "FAIL" if failures else "OK")
     return 1 if failures else 0
 
 
