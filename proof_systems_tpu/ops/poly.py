@@ -21,14 +21,21 @@ from .scan import blocked_prefix_scan
 
 
 def powers_dev(F: DeviceField, x: int, n: int) -> jax.Array:
-    """[1, x, .., x^(n-1)] device Montgomery array via log-depth doubling."""
-    p = F.params.p
-    arr = F.pack_mont([1], shape=(1,))
+    """[1, x, .., x^(n-1)] device Montgomery array via log-depth doubling.
+
+    x^(2^k) steps come from a device squaring chain — ONE host->device
+    transfer total (a per-step pack_mont was one tunnel transfer per
+    doubling on the axon runtime)."""
+    arr = F.one_mont((1,))
+    if n <= 1:
+        return arr[:, :n]
+    step = F.pack_mont([x], shape=(1,))  # x^length, length = 1
     length = 1
     while length < n:
-        step = F.pack_mont([pow(x, length, p)], shape=(1,))
         arr = jnp.concatenate([arr, limb.mont_mul(F, arr, step)], axis=-1)
         length *= 2
+        if length < n:
+            step = limb.mont_sqr(F, step)
     return arr[:, :n]
 
 
@@ -49,6 +56,18 @@ def eval_at(F: DeviceField, coeffs: jax.Array, powers: jax.Array) -> list[int]:
     prod = limb.mont_mul(F, coeffs, powers[:, None, :] if powers.ndim == 2 else powers)
     res = ntt.sum_mod(F, _pad_pow2(prod))
     return F.unpack_mont(res)
+
+
+def eval_at2(F: DeviceField, coeffs: jax.Array, pow_a: jax.Array, pow_b: jax.Array):
+    """Evaluate (16, b, L) rows at TWO points with one reduction and ONE
+    device->host fetch (each fetch is a sync roundtrip through the axon
+    tunnel). Returns (evals_a, evals_b) as host int lists."""
+    pows = jnp.stack([pow_a, pow_b], axis=1)  # (16, 2, L)
+    prod = limb.mont_mul(F, coeffs[:, None], pows[:, :, None, :])  # (16,2,b,L)
+    res = ntt.sum_mod(F, _pad_pow2(prod))  # (16, 2, b)
+    flat = F.unpack_mont(res)
+    b = coeffs.shape[1]
+    return flat[:b], flat[b:]
 
 
 def divide_by_vanishing(F: DeviceField, coeffs: jax.Array, n: int):

@@ -84,16 +84,7 @@ class BatchEvaluationProof:
     combined_inner_product: int
 
 
-def _powers_dev(F: limb.DeviceField, x: int, n: int) -> jnp.ndarray:
-    """[1, x, .., x^(n-1)] as a device Montgomery array, log-depth doubling."""
-    p = F.params.p
-    arr = F.pack_mont([1], shape=(1,))
-    length = 1
-    while length < n:
-        step = F.pack_mont([pow(x, length, p)], shape=(1,))
-        arr = jnp.concatenate([arr, limb.mont_mul(F, arr, step)], axis=-1)
-        length *= 2
-    return arr[:, :n]
+from ..ops.poly import powers_dev as _powers_dev  # device squaring chain
 
 
 def combine_polys_dev(
@@ -107,30 +98,52 @@ def combine_polys_dev(
     plnms: list of (coeffs (16, L) Montgomery, blinder per chunk).
     Returns (combined (16, padded) Montgomery, combined blinder int).
     """
+    from ..ops import poly
+
     p = F.params.p
-    acc = None
     blind = 0
     scale_i = 1
-    max_len = srs_len
-    parts = []
+    segs = []
+    scale_idx = []
+    idx = 0
     for coeffs, blinders in plnms:
         L = coeffs.shape[-1]
         nchunks = max(-(-L // srs_len), len(blinders))
         for ci in range(nchunks):
             seg = coeffs[:, ci * srs_len : (ci + 1) * srs_len]
             if seg.shape[-1]:
-                parts.append((seg, scale_i))
+                pad = srs_len - seg.shape[-1]
+                if pad:
+                    seg = jnp.concatenate(
+                        [seg, jnp.zeros((limb.NLIMBS, pad), dtype=seg.dtype)],
+                        axis=-1,
+                    )
+                segs.append(seg)
+                scale_idx.append(idx)
             blind = (blind + blinders[ci] * scale_i) % p
             scale_i = scale_i * polyscale % p
-    for seg, s in parts:
-        pad = srs_len - seg.shape[-1]
-        if pad:
-            seg = jnp.concatenate(
-                [seg, jnp.zeros((limb.NLIMBS, pad), dtype=seg.dtype)], axis=-1
-            )
-        term = limb.mont_mul(F, seg, F.pack_mont([s], shape=(1,)))
-        acc = term if acc is None else limb.add(F, acc, term)
-    return acc, blind
+            idx += 1
+    # weighted sum of all segments in O(log) batched ops: the polyscale
+    # power ladder is a device squaring chain (one transfer) and the
+    # segment reduction a halving tree — the per-segment host pack +
+    # mul/add chain was ~3 dispatches and one tunnel transfer per chunk.
+    stackd = jnp.stack(segs, axis=1)  # (16, S, srs_len)
+    pows = poly.powers_dev(F, polyscale, idx)
+    sc = jnp.take(pows, jnp.asarray(scale_idx, dtype=jnp.int32), axis=-1)
+    terms = limb.mont_mul(F, stackd, sc[:, :, None])
+    S = len(segs)
+    Sp = 1
+    while Sp < S:
+        Sp *= 2
+    if Sp != S:
+        terms = jnp.concatenate(
+            [terms, jnp.zeros((limb.NLIMBS, Sp - S, srs_len), dtype=terms.dtype)],
+            axis=1,
+        )
+    while Sp > 1:
+        Sp //= 2
+        terms = limb.add(F, terms[:, :Sp], terms[:, Sp:])
+    return terms[:, 0], blind
 
 
 @functools.partial(jax.jit, static_argnums=0)

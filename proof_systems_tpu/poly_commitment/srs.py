@@ -96,6 +96,13 @@ class SRS:
             self._g_dev = device_curve(self.curve).pack_affine(self.g)
         return self._g_dev
 
+    @property
+    def gh_dev(self) -> APoint:
+        """g ++ [h]: the basis for commitments with fused hiding."""
+        if getattr(self, "_gh_dev", None) is None:
+            self._gh_dev = device_curve(self.curve).pack_affine(self.g + [self.h])
+        return self._gh_dev
+
     # -- committing --------------------------------------------------------
 
     def commit_coeffs_host(self, polys: list[list[int]], num_chunks: int = 1) -> list[PolyComm]:
@@ -116,12 +123,18 @@ class SRS:
             out[pi].chunks.append(pt)
         return out
 
-    def commit_coeffs_dev(self, coeffs_mont: jnp.ndarray, num_chunks: int = 1) -> list[PolyComm]:
+    def commit_coeffs_dev(
+        self, coeffs_mont: jnp.ndarray, num_chunks: int = 1, blinders=None
+    ) -> list[PolyComm]:
         """Commit device coefficient arrays (16, b, L) in Montgomery form.
 
         Each row b is one polynomial of L coefficients; L may exceed the
         SRS size, yielding ceil(L/n) chunks (at least num_chunks).
-        Non-hiding; blinding is applied at the protocol layer.
+
+        blinders: optional list (len b) of per-chunk int lists — hiding
+        w·H is FUSED into the MSM as an extra (h, w) term per chunk row
+        (ipa.rs mask_custom semantics without the per-chunk host
+        scalar-muls of srs.mask, which dominated small-proof commits).
         """
         n = len(self.g)
         b, L = coeffs_mont.shape[1], coeffs_mont.shape[2]
@@ -133,7 +146,14 @@ class SRS:
                 [std, jnp.zeros((limb.NLIMBS, b, pad), dtype=std.dtype)], axis=-1
             )
         rows = std.reshape(limb.NLIMBS, b * nchunks, n)
-        results = msm.msm(self.curve, rows, self.g_dev)
+        if blinders is None:
+            results = msm.msm(self.curve, rows, self.g_dev)
+        else:
+            flat = [int(w) % self.curve.scalar.p for row in blinders for w in row]
+            assert len(flat) == b * nchunks
+            wb = jnp.asarray(limb.ints_to_limbs(flat, shape=(b * nchunks, 1)))
+            rows = jnp.concatenate([rows, wb], axis=-1)
+            results = msm.msm(self.curve, rows, self.gh_dev)
         return [PolyComm(results[i * nchunks : (i + 1) * nchunks]) for i in range(b)]
 
     def lagrange_commitments(self, domain, m: int) -> list:

@@ -273,19 +273,17 @@ def create_proof(
     public_evals_d1 = [(-x) % p for x in public] + [0] * (n - cs.public)
     public_dev = F.pack_mont(public_evals_d1, shape=(1, n))
     public_coeffs = d1.intt(public_dev)  # (16, 1, n)
-    public_comm_nh = index.srs.commit_coeffs_dev(public_coeffs, nc)[0]
-    public_comm = index.srs.mask(public_comm_nh, [1] * nc)
+    public_comm = index.srs.commit_coeffs_dev(public_coeffs, nc, [[1] * nc])[0]
     fq_sponge.absorb_g(public_comm.chunks)
 
     checkpoint("set_up_fq_sponge")
-    # -- 4. witness commitments (hiding) -----------------------------------
+    # -- 4. witness commitments (hiding fused into the MSM) -----------------
     flat_w = [v for col in witness for v in col]
     w_evals = F.pack_mont(flat_w, shape=(COLUMNS, n))  # (16, 15, n)
     w_coeffs = d1.intt(w_evals)
-    w_comms_nh = index.srs.commit_coeffs_dev(w_coeffs, nc)
     # vec![rand; num_chunks]: ONE sample repeated per chunk (prover.rs:317)
     w_blinders = [[rng.field(p)] * nc for _ in range(COLUMNS)]
-    w_comms = [index.srs.mask(c, b) for c, b in zip(w_comms_nh, w_blinders)]
+    w_comms = index.srs.commit_coeffs_dev(w_coeffs, nc, w_blinders)
     for c in w_comms:
         fq_sponge.absorb_g(c.chunks)
 
@@ -311,11 +309,10 @@ def create_proof(
                 runtime_d1[i] = rng.field(p)
             runtime_dev = F.pack_mont(runtime_d1, shape=(1, n))
             runtime_coeffs = d1.intt(runtime_dev)[:, 0]
-            runtime_comm_nh = index.srs.commit_coeffs_dev(
-                runtime_coeffs[:, None, :], nc
-            )[0]
             runtime_blinder = [rng.field(p) for _ in range(nc)]
-            runtime_comm = index.srs.mask(runtime_comm_nh, runtime_blinder)
+            runtime_comm = index.srs.commit_coeffs_dev(
+                runtime_coeffs[:, None, :], nc, [runtime_blinder]
+            )[0]
             fq_sponge.absorb_g(runtime_comm.chunks)
             lookup_ctx.update(
                 runtime_d1=runtime_d1, runtime_coeffs=runtime_coeffs,
@@ -339,13 +336,10 @@ def create_proof(
             [v for col in sorted_cols for v in col], shape=(nsorted, n)
         )
         sorted_coeffs = d1.intt(sorted_dev)
-        sorted_comms_nh = index.srs.commit_coeffs_dev(sorted_coeffs, nc)
         sorted_blinders = [
             [rng.field(p) for _ in range(nc)] for _ in range(nsorted)
         ]
-        sorted_comms = [
-            index.srs.mask(c, b) for c, b in zip(sorted_comms_nh, sorted_blinders)
-        ]
+        sorted_comms = index.srs.commit_coeffs_dev(sorted_coeffs, nc, sorted_blinders)
         for c in sorted_comms:
             fq_sponge.absorb_g(c.chunks)
         lookup_ctx.update(
@@ -366,9 +360,8 @@ def create_proof(
         )
         aggreg_dev = F.pack_mont(aggreg, shape=(1, n))
         aggreg_coeffs = d1.intt(aggreg_dev)
-        aggreg_comm_nh = index.srs.commit_coeffs_dev(aggreg_coeffs, nc)[0]
         aggreg_blinder = [rng.field(p) for _ in range(nc)]
-        aggreg_comm = index.srs.mask(aggreg_comm_nh, aggreg_blinder)
+        aggreg_comm = index.srs.commit_coeffs_dev(aggreg_coeffs, nc, [aggreg_blinder])[0]
         fq_sponge.absorb_g(aggreg_comm.chunks)
         lookup_ctx.update(
             aggreg_coeffs=aggreg_coeffs[:, 0], aggreg_comm=aggreg_comm,
@@ -377,13 +370,18 @@ def create_proof(
 
     checkpoint("use_lookup")
     # -- 6. permutation aggregation z --------------------------------------
-    sigma_d1_dev = F.pack_mont(
-        [v for col in cs.sigma_d1 for v in col], shape=(PERMUTS, n)
-    )
+    # per-circuit constants: packed once per index, not per proof
+    zp = getattr(index, "_zperm_dev", None)
+    if zp is None:
+        zp = (
+            F.pack_mont([v for col in cs.sigma_d1 for v in col], shape=(PERMUTS, n)),
+            F.pack_mont(cs.sid, shape=(1, n)),
+            F.pack_mont(cs.shift, shape=(PERMUTS, 1)),
+        )
+        index._zperm_dev = zp
+    sigma_d1_dev, sid_dev, shift_dev = zp
     beta_m = F.const_mont(beta, (1, 1))
     gamma_m = F.const_mont(gamma, (1, 1))
-    sid_dev = F.pack_mont(cs.sid, shape=(1, n))
-    shift_dev = F.pack_mont(cs.shift, shape=(PERMUTS, 1))
     w7 = w_evals[:, :PERMUTS]
     num_f = limb.add(
         F, limb.add(F, w7, limb.mont_mul(F, limb.mont_mul(F, sid_dev, beta_m), shift_dev)), gamma_m
@@ -420,9 +418,8 @@ def create_proof(
         parts.append(tail)
     z_evals = jnp.concatenate(parts, axis=-1)[:, :n]
     z_coeffs = d1.intt(z_evals)
-    z_comm_nh = index.srs.commit_coeffs_dev(z_coeffs[:, None, :], nc)[0]
     z_blinder = [rng.field(p) for _ in range(nc)]
-    z_comm = index.srs.mask(z_comm_nh, z_blinder)
+    z_comm = index.srs.commit_coeffs_dev(z_coeffs[:, None, :], nc, [z_blinder])[0]
     fq_sponge.absorb_g(z_comm.chunks)
 
     checkpoint("z_permutation_aggregation_polynomial")
@@ -468,9 +465,11 @@ def create_proof(
     a0, a1, a2 = index.alphas.get_alphas("permutation", 3)
 
     checkpoint("commit_quotient")
-    t_comm_nh = index.srs.commit_coeffs_dev(quotient[:, None, :], 7 * nc)[0]
-    t_blinders = [rng.field(p) for _ in range(len(t_comm_nh.chunks))]
-    t_comm = index.srs.mask(t_comm_nh, t_blinders)
+    t_nchunks = max(-(-quotient.shape[-1] // srs_len), 7 * nc)
+    t_blinders = [rng.field(p) for _ in range(t_nchunks)]
+    t_comm = index.srs.commit_coeffs_dev(
+        quotient[:, None, :], 7 * nc, [t_blinders]
+    )[0]
     fq_sponge.absorb_g(t_comm.chunks)
 
     checkpoint("lagrange_basis_eval_zeta_poly")
@@ -517,8 +516,7 @@ def create_proof(
 
     ncols_stack = stack.shape[1]
     chunked = stack.reshape(limb.NLIMBS, ncols_stack * nc, srs_len)
-    ev_z = poly.eval_at(F, chunked, pow_z)
-    ev_zw = poly.eval_at(F, chunked, pow_zw)
+    ev_z, ev_zw = poly.eval_at2(F, chunked, pow_z, pow_zw)
 
     def pe(i: int) -> PointEvaluations:
         return PointEvaluations(
