@@ -49,7 +49,10 @@ except ImportError:  # pragma: no cover
 
 from .limb import LIMB_BITS, MASK, NLIMBS, DeviceField, int_to_limbs
 
-BLOCK_ROWS = 8  # sublanes per grid step (one (8,128) vreg per limb row)
+import os
+
+BLOCK_ROWS = int(os.environ.get("PST_BLOCK_ROWS", "8"))
+# sublanes per grid step (one (8,128) vreg per limb row at the default)
 LANE = 128
 
 _M = np.uint32(MASK)
@@ -147,11 +150,27 @@ def _kv_mul_redc(F: DeviceField, a, b):
     )
     lo = _and_mask(prod)
     hi = _shr(prod)
-    terms = []
-    for i in range(NLIMBS):
-        terms.append(_pad0(lo[i], i, NLIMBS - i))  # (32, *b)
-        terms.append(_pad0(hi[i], i + 1, NLIMBS - i - 1))
-    cols = functools.reduce(lax.add, terms)  # (32, *b), cols < 2^21
+    # column accumulation as a pairwise tree over support-aligned terms
+    # (vs summing 16 full-height zero-padded arrays): 576 row-adds, not
+    # 992 — the pads fuse into the adds.
+    terms = [
+        (i, 17, lax.add(_pad0(lo[i], 0, 1), _pad0(hi[i], 1, 0)))
+        for i in range(NLIMBS)
+    ]
+    while len(terms) > 1:
+        nxt = []
+        for j in range(0, len(terms) - 1, 2):
+            (o1, h1, a1), (o2, h2, a2) = terms[j], terms[j + 1]
+            lo_o = min(o1, o2)
+            hi_o = max(o1 + h1, o2 + h2)
+            a1p = _pad0(a1, o1 - lo_o, hi_o - o1 - h1)
+            a2p = _pad0(a2, o2 - lo_o, hi_o - o2 - h2)
+            nxt.append((lo_o, hi_o - lo_o, lax.add(a1p, a2p)))
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    off, hh, cols = terms[0]
+    cols = _pad0(cols, off, 2 * NLIMBS - off - hh)  # (32, *b), cols < 2^21
 
     p_arr = _p_stack(F, batch)
     pinv = lax.broadcast(F.pinv, batch)
@@ -165,12 +184,14 @@ def _kv_mul_redc(F: DeviceField, a, b):
         phi = _shr(pr)
         v0 = lax.add(v, plo[0])
         carry = _shr(v0)
-        # add plo[1..15] into columns i+1..i+15 and phi[0..15] into i+1..i+16
-        upd = lax.add(_pad0(plo[1:], i + 1, 17 - i), _pad0(phi, i + 1, 16 - i))
-        t = lax.add(t, upd)
-    res = _kv_ripple(t[NLIMBS:], NLIMBS + 1)
-    low = _pad0(carry[None], 0, NLIMBS)
-    res = _kv_ripple(lax.add(res, low), NLIMBS + 1)
+        # rows i+1..i+16 gain plo[1..15] + phi[0..15]: combine in the
+        # 16-row window first, then one padded add into t
+        w = lax.add(_pad0(plo[1:], 0, 1), phi)
+        t = lax.add(t, _pad0(w, i + 1, 16 - i))
+    # single ripple with the final REDC carry injected at column 16
+    res = _kv_ripple(
+        lax.add(t[NLIMBS:], _pad0(carry[None], 0, NLIMBS)), NLIMBS + 1
+    )
     top = res[NLIMBS]
     limbs = res[:NLIMBS]
     d, borrow = _kv_sub_raw(limbs, p_arr)
