@@ -79,6 +79,49 @@ def _scan_sum(curve: DeviceCurve, pts: JPoint, n: int, ident: JPoint) -> JPoint:
     return JPoint(pref.x[..., -1:], pref.y[..., -1:], pref.z[..., -1:])
 
 
+def scale_basis(curve: DeviceCurve, points: APoint, c: int, windows: int) -> JPoint:
+    """Per-window scaled bases 2^{cw}·P_i, leaves (16, W, n) Jacobian.
+
+    With the bases pre-scaled, the MSM's window recombination collapses
+    from a Horner chain of ~W·(c+1) SEQUENTIAL EC ops (~0.07 ms each of
+    single-tile kernel latency) to a log2(W) pairwise tree — the bases
+    are fixed per SRS, so the doubling chain runs once per process."""
+    J = curve.to_jacobian(points)
+    levels = [J]
+    for _ in range(1, windows):
+        Jp = levels[-1]
+        for _ in range(c):
+            Jp = curve.double(Jp)
+        levels.append(Jp)
+    return JPoint(
+        jnp.stack([l.x for l in levels], axis=1),
+        jnp.stack([l.y for l in levels], axis=1),
+        jnp.stack([l.z for l in levels], axis=1),
+    )
+
+
+def sum_windows(curve: DeviceCurve, wins: JPoint) -> JPoint:
+    """Σ_w wins[w] over axis 1 (pre-scaled bases), log2(W) pairwise adds."""
+    W = wins.x.shape[1]
+    Wp = 1
+    while Wp < W:
+        Wp *= 2
+    if Wp != W:
+        pad = curve.inf_jacobian((Wp - W, *wins.x.shape[2:]))
+        wins = JPoint(
+            jnp.concatenate([wins.x, pad.x], axis=1),
+            jnp.concatenate([wins.y, pad.y], axis=1),
+            jnp.concatenate([wins.z, pad.z], axis=1),
+        )
+    while Wp > 1:
+        Wp //= 2
+        wins = curve.add(
+            JPoint(wins.x[:, :Wp], wins.y[:, :Wp], wins.z[:, :Wp]),
+            JPoint(wins.x[:, Wp:], wins.y[:, Wp:], wins.z[:, Wp:]),
+        )
+    return JPoint(wins.x[:, 0], wins.y[:, 0], wins.z[:, 0])
+
+
 def _combine_windows_body(curve: DeviceCurve, c: int, wins: JPoint) -> JPoint:
     """Σ_w 2^{cw} · win_w on device: Horner over windows, c doublings per
     step (replaces the host bigint recombination — the W·b device→host
@@ -133,6 +176,18 @@ def _msm_affine(curve: DeviceCurve, scalars: jax.Array, points: APoint, c: int):
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _msm_affine_scaled(curve: DeviceCurve, scalars: jax.Array, spoints: JPoint, c: int):
+    """MSM over pre-scaled per-window bases (see scale_basis): window
+    sums + log2(W) tree combine + affine normalization, one dispatch."""
+    wins = _window_sums_body(curve, scalars, spoints, c)
+    total = sum_windows(curve, wins)
+    aff = curve.to_affine(total)
+    return jnp.concatenate(
+        [aff.x, aff.y, aff.inf.astype(jnp.uint32)[None]], axis=0
+    )
+
+
 def _decode_packed_affine(curve: DeviceCurve, packed) -> list:
     import numpy as np
 
@@ -170,24 +225,36 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     digits = jnp.stack([_digits(scalars, c, w) for w in range(windows)], axis=0)  # (W, b, n)
     order = jnp.argsort(digits, axis=-1)
     sdig = jnp.take_along_axis(digits, order, axis=-1)
-    if points.x.ndim == 3:  # per-batch point sets
-        shape4 = (limb.NLIMBS, windows, b, n)
-        px = jnp.take_along_axis(
-            jnp.broadcast_to(points.x[:, None], shape4), order[None], axis=-1
-        )
-        py = jnp.take_along_axis(
-            jnp.broadcast_to(points.y[:, None], shape4), order[None], axis=-1
-        )
-        pinf = jnp.take_along_axis(
-            jnp.broadcast_to(points.inf[None], (windows, b, n)), order, axis=-1
-        )
+    shape4 = (limb.NLIMBS, windows, b, n)
+    if isinstance(points, JPoint):
+        # pre-scaled per-window bases: (16, W, n) shared across b, or
+        # (16, W, b, n) per-batch (compact IPA rounds)
+        def g4(arr):
+            if arr.ndim == 3:
+                arr = arr[:, :, None]
+            return jnp.take_along_axis(
+                jnp.broadcast_to(arr, shape4), order[None], axis=-1
+            )
+
+        jac = JPoint(g4(points.x), g4(points.y), g4(points.z))
     else:
-        px = jnp.take(points.x, order, axis=1)  # (16, W, b, n)
-        py = jnp.take(points.y, order, axis=1)
-        pinf = points.inf[order]  # (W, b, n)
-    one = curve.F.one_mont((windows, b, n))
-    pz = limb.select(pinf, curve.F.zeros((windows, b, n)), one)
-    jac = JPoint(px, py, pz)
+        if points.x.ndim == 3:  # per-batch point sets
+            px = jnp.take_along_axis(
+                jnp.broadcast_to(points.x[:, None], shape4), order[None], axis=-1
+            )
+            py = jnp.take_along_axis(
+                jnp.broadcast_to(points.y[:, None], shape4), order[None], axis=-1
+            )
+            pinf = jnp.take_along_axis(
+                jnp.broadcast_to(points.inf[None], (windows, b, n)), order, axis=-1
+            )
+        else:
+            px = jnp.take(points.x, order, axis=1)  # (16, W, b, n)
+            py = jnp.take(points.y, order, axis=1)
+            pinf = points.inf[order]  # (W, b, n)
+        one = curve.F.one_mont((windows, b, n))
+        pz = limb.select(pinf, curve.F.zeros((windows, b, n)), one)
+        jac = JPoint(px, py, pz)
 
     ident = curve.inf_jacobian((windows, b, 1))
     # ends[d] = #elements with digit <= d  (prefix boundary index)
@@ -265,11 +332,20 @@ def default_window_bits(n: int) -> int:
     return best
 
 
-def msm(curve_params: CurveParams, scalars_std: jax.Array, points: APoint, c: int | None = None):
+def msm(
+    curve_params: CurveParams,
+    scalars_std: jax.Array,
+    points: APoint,
+    c: int | None = None,
+    scaled: JPoint | None = None,
+):
     """Batched MSM: returns a list of b host affine points.
 
     scalars_std: (16, b, n) canonical standard-form limbs (NOT Montgomery).
     points: device APoint batch of n points (shared by all b MSMs).
+    scaled: optional pre-scaled per-window bases (scale_basis of the same
+    points at window size c) — used on the device path; the host-exact
+    CPU fallback ignores it.
     """
     curve = device_curve(curve_params)
     b, n = scalars_std.shape[1], scalars_std.shape[2]
@@ -301,7 +377,11 @@ def msm(curve_params: CurveParams, scalars_std: jax.Array, points: APoint, c: in
             ],
             axis=1,
         )
-    packed = _msm_affine(curve, scalars_std, points, c)
+    if scaled is not None:
+        assert scaled.x.shape[1] == -(-255 // c), "scaled bases don't match c"
+        packed = _msm_affine_scaled(curve, scalars_std, scaled, c)
+    else:
+        packed = _msm_affine(curve, scalars_std, points, c)
     return _decode_packed_affine(curve, packed)[:orig_b]
 
 

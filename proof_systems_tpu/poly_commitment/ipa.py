@@ -421,7 +421,8 @@ def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _ipa_all_rounds(
     F, Fq, curve, rounds, c_half, c_full, endo_r, sponge_rounds,
-    a, b, g_dev, extra, rand_lr_all, state0, rc_flat, mds_flat,
+    a, b, gh_scaled_half, gh_scaled_full, u_dev, rand_lr_all, state0,
+    rc_flat, mds_flat,
 ):
     """All folding rounds fused. Returns (lr_packed (rounds, 33, 2),
     g0_packed (33, 2), a0 (16, 1), b0 (16, 1)).
@@ -446,6 +447,11 @@ def _ipa_all_rounds(
     zeros_n = F.zeros((n,))
     mask0 = F.one_mont((n,))
     lr0 = jnp.zeros((rounds, 33, 2), dtype=jnp.uint32)
+
+    # per-proof U base scaled to the rounds' window layout (g and h come
+    # pre-scaled from the SRS cache)
+    W_half = gh_scaled_half.x.shape[1]
+    u_scaled = msm.scale_basis(curve, u_dev, c_half, W_half)  # (16, W, 1)
 
     def round_body(k, carry):
         a, b, mask, state, lr_acc = carry
@@ -481,23 +487,31 @@ def _ipa_all_rounds(
         )  # (16, 2, 1)
         scal = jnp.concatenate([body_s, rand_k, ips], axis=-1)  # (16, 2, half+2)
 
-        def pts_row(idx):
-            return (
-                jnp.concatenate([jnp.take(g_dev.x, idx, axis=-1), extra.x], axis=-1),
-                jnp.concatenate([jnp.take(g_dev.y, idx, axis=-1), extra.y], axis=-1),
-                jnp.concatenate([jnp.take(g_dev.inf, idx, axis=-1), extra.inf], axis=-1),
+        # scaled per-window bases, gathered per batch row: g[idx] ++ h ++ u
+        def pts_row(coord, u_coord, idx):
+            return jnp.concatenate(
+                [
+                    jnp.take(coord[:, :, :n], idx, axis=-1),  # (16, W, half)
+                    coord[:, :, n : n + 1],  # h
+                    u_coord,  # u
+                ],
+                axis=-1,
             )
 
-        lx, ly, li = pts_row(idx_L)
-        rx, ry, ri = pts_row(idx_R)
-        pts = APoint(
-            jnp.stack([lx, rx], axis=1),
-            jnp.stack([ly, ry], axis=1),
-            jnp.stack([li, ri], axis=0),
+        def pts_coord(coord, u_coord):
+            return jnp.stack(
+                [pts_row(coord, u_coord, idx_L), pts_row(coord, u_coord, idx_R)],
+                axis=2,
+            )  # (16, W, 2, half+2)
+
+        pts = JPoint(
+            pts_coord(gh_scaled_half.x, u_scaled.x),
+            pts_coord(gh_scaled_half.y, u_scaled.y),
+            pts_coord(gh_scaled_half.z, u_scaled.z),
         )
 
         wins = msm._window_sums_body(curve, scal, pts, c_half)
-        comb = msm._combine_windows_body(curve, c_half, wins)
+        comb = msm.sum_windows(curve, wins)
         aff = curve.to_affine(comb)
         xs = limb.select(aff.inf, F.zeros((2,)), aff.x)
         ys = limb.select(aff.inf, F.zeros((2,)), aff.y)
@@ -524,10 +538,15 @@ def _ipa_all_rounds(
         0, rounds, round_body, (a, b, mask0, state0, lr0)
     )
 
-    # sg = <mask_final, g> over the full original basis
+    # sg = <mask_final, g> over the full original basis (scaled, g part)
     mask_s = limb.from_mont(F, mask)[:, None, :]  # (16, 1, n)
-    wins = msm._window_sums_body(curve, mask_s, g_dev, c_full)
-    comb = msm._combine_windows_body(curve, c_full, wins)
+    g_scaled = JPoint(
+        gh_scaled_full.x[:, :, :n],
+        gh_scaled_full.y[:, :, :n],
+        gh_scaled_full.z[:, :, :n],
+    )
+    wins = msm._window_sums_body(curve, mask_s, g_scaled, c_full)
+    comb = msm.sum_windows(curve, wins)
     aff = curve.to_affine(comb)
     g0_packed = jnp.concatenate(
         [aff.x, aff.y, aff.inf.astype(jnp.uint32)[None]], axis=0
@@ -548,7 +567,7 @@ def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=Non
     Fq = limb.device_field(params.field)
     n = len(srs.g)
 
-    extra = dc.pack_affine([srs.h, u_base])
+    u_dev = dc.pack_affine([u_base])
     blinders = [(rng.field(f.p), rng.field(f.p)) for _ in range(rounds)]
     flat = [v for lrpair in blinders for v in lrpair]
     rand_all = F.pack(flat, shape=(rounds, 2))[..., None]  # (16, rounds, 2, 1)
@@ -585,10 +604,11 @@ def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=Non
     )
 
     c_half = msm.default_window_bits(n // 2 + 2)
-    c_full = msm.default_window_bits(n)
+    c_full = msm.default_window_bits(n + 1)  # shares the commit-MSM cache
     lr_packed, g0_packed, a0_arr, b0_arr = _ipa_all_rounds(
         F, Fq, dc, rounds, c_half, c_full, curve.endos[1], nrc,
-        a, b_arr, srs.g_dev, extra, rand_all, state0, rc_flat, mds_flat,
+        a, b_arr, srs.scaled_basis(c_half), srs.scaled_basis(c_full),
+        u_dev, rand_all, state0, rc_flat, mds_flat,
     )
     host = jax.device_get((lr_packed, g0_packed, a0_arr, b0_arr))
     lr_packed, g0_packed, a0_arr, b0_arr = host

@@ -103,6 +103,22 @@ class SRS:
             self._gh_dev = device_curve(self.curve).pack_affine(self.g + [self.h])
         return self._gh_dev
 
+    def scaled_basis(self, c: int):
+        """Pre-scaled per-window Jacobian bases 2^{cw}·(g ++ [h]), cached
+        per window size (ops/msm.scale_basis; fixed per SRS, so the
+        Horner recombination disappears from every commit MSM)."""
+        cache = getattr(self, "_scaled", None)
+        if cache is None:
+            cache = self._scaled = {}
+        if c not in cache:
+            import jax
+
+            dc = device_curve(self.curve)
+            windows = -(-255 // c)
+            fn = jax.jit(msm.scale_basis, static_argnums=(0, 2, 3))
+            cache[c] = jax.block_until_ready(fn(dc, self.gh_dev, c, windows))
+        return cache[c]
+
     # -- committing --------------------------------------------------------
 
     def commit_coeffs_host(self, polys: list[list[int]], num_chunks: int = 1) -> list[PolyComm]:
@@ -146,14 +162,24 @@ class SRS:
                 [std, jnp.zeros((limb.NLIMBS, b, pad), dtype=std.dtype)], axis=-1
             )
         rows = std.reshape(limb.NLIMBS, b * nchunks, n)
+        # blinders always ride as an (h, w) term — w = 0 for non-hiding —
+        # so every commit shares ONE basis/shape and, on device, the
+        # cached pre-scaled windows of g ++ [h].
         if blinders is None:
-            results = msm.msm(self.curve, rows, self.g_dev)
+            flat = [0] * (b * nchunks)
         else:
             flat = [int(w) % self.curve.scalar.p for row in blinders for w in row]
             assert len(flat) == b * nchunks
-            wb = jnp.asarray(limb.ints_to_limbs(flat, shape=(b * nchunks, 1)))
-            rows = jnp.concatenate([rows, wb], axis=-1)
-            results = msm.msm(self.curve, rows, self.gh_dev)
+        wb = jnp.asarray(limb.ints_to_limbs(flat, shape=(b * nchunks, 1)))
+        rows = jnp.concatenate([rows, wb], axis=-1)
+        import jax
+
+        scaled = None
+        c = None
+        if jax.default_backend() in ("tpu", "axon"):
+            c = msm.default_window_bits(n + 1)
+            scaled = self.scaled_basis(c)
+        results = msm.msm(self.curve, rows, self.gh_dev, c=c, scaled=scaled)
         return [PolyComm(results[i * nchunks : (i + 1) * nchunks]) for i in range(b)]
 
     def lagrange_commitments(self, domain, m: int) -> list:

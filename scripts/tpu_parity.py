@@ -137,6 +137,29 @@ def main() -> int:
         print("PER-BATCH MSM MISMATCH")
         failures += 1
     print("per-batch-points msm parity:", "FAIL" if failures else "OK")
+
+    # -- pre-scaled per-window bases ----------------------------------------
+    b2, n2, c2 = 2, 70, 7
+    scal2 = [[rng.randrange(curve.scalar.p) for _ in range(n2)] for _ in range(b2)]
+    pts2 = [
+        curve.scalar_mul(rng.randrange(1, curve.scalar.p), curve.generator)
+        for _ in range(n2)
+    ]
+    pts2[5] = None
+    apts = dc.pack_affine(pts2)
+    W2 = -(-255 // c2)
+    sp = jax.jit(msm.scale_basis, static_argnums=(0, 2, 3))(dc, apts, c2, W2)
+    scal2_dev = jnp.asarray(
+        limb.ints_to_limbs([s for row in scal2 for s in row], shape=(b2, n2))
+    )
+    got = msm._decode_packed_affine(
+        dc, msm._msm_affine_scaled(dc, scal2_dev, sp, c2)
+    )
+    want = [curve.msm(row, pts2) for row in scal2]
+    if got != want:
+        print("SCALED-BASIS MSM MISMATCH")
+        failures += 1
+    print("scaled-basis msm parity:", "FAIL" if failures else "OK")
     return 1 if failures else 0
 
 
