@@ -387,8 +387,18 @@ def _redc_tail(F: DeviceField, high: jax.Array, carry: jax.Array) -> jax.Array:
 
 @_jit_f
 def mont_mul(F: DeviceField, a, b):
-    """Montgomery product: (a * b * R^-1) mod p. Canonical in/out."""
+    """Montgomery product: (a * b * R^-1) mod p. Canonical in/out.
+
+    On TPU this routes through the fused pallas kernel: the XLA form
+    materializes a (16,16,*batch) outer product per multiply (25x the
+    HBM traffic of the operands) and inlines ~400 HLO ops per call —
+    both compile time and memory bandwidth scale with it. On CPU the
+    XLA form stays (pallas interpret mode is far slower to compile)."""
     a, b = jnp.broadcast_arrays(a, b)
+    if jax.default_backend() in ("tpu", "axon"):
+        from . import pallas_field
+
+        return pallas_field.mont_mul(F, a, b)
     return _redc(F, _mul_columns(a, b))
 
 

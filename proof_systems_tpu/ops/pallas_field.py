@@ -562,48 +562,54 @@ def sponge_squeeze2_fused(Fq: DeviceField, nrounds: int, state, xs, ys, rc_flat,
     def kernel(rc_ref, mds_ref, in_ref, o_ref):
         mulq = lambda u, v: _kv_mul_redc(Fq, u, v)
         addq = lambda u, v: _kv_add(Fq, u, v)
-        mds = [
-            [_kv_load_smem_elem(mds_ref, (i * 3 + j) * NLIMBS) for j in range(3)]
-            for i in range(3)
-        ]
+        # state is kept STACKED (16, 3, L): the sbox is ONE 3-row multiply
+        # chain and the MDS matrix-vector product ONE 9-row multiply +
+        # two 3-row adds — per-op kernel latency is row-count-insensitive
+        # at this size, so this is ~4x fewer serial multiplies per round
+        # than the per-element form.
+        m9 = jnp.concatenate(
+            [
+                _kv_load_smem_elem(mds_ref, (i * 3 + j) * NLIMBS)
+                for i in range(3)
+                for j in range(3)
+            ],
+            axis=1,
+        )  # (16, 9, L), row i*3+j = mds[i][j]
 
         def permute(s):
             def rnd(r, st):
-                s0, s1, s2 = st
-
-                def sb(x):
-                    x2 = mulq(x, x)
-                    x3 = mulq(x2, x)
-                    return mulq(mulq(x3, x3), x)
-
-                t = [sb(s0), sb(s1), sb(s2)]
-                out = []
-                for i in range(3):
-                    acc = mulq(mds[i][0], t[0])
-                    acc = addq(acc, mulq(mds[i][1], t[1]))
-                    acc = addq(acc, mulq(mds[i][2], t[2]))
-                    rc = _kv_load_smem_elem(rc_ref, (r * 3 + i) * NLIMBS)
-                    out.append(addq(acc, rc))
-                return tuple(out)
+                x2 = mulq(st, st)
+                x3 = mulq(x2, st)
+                t = mulq(mulq(x3, x3), st)  # x^7, (16, 3, L)
+                t9 = jnp.concatenate([t, t, t], axis=1)  # rows [t0,t1,t2]*3
+                prod = mulq(m9, t9).reshape(NLIMBS, 3, 3, LANE)
+                out = addq(
+                    addq(prod[:, :, 0, :], prod[:, :, 1, :]), prod[:, :, 2, :]
+                )
+                rc = jnp.concatenate(
+                    [
+                        _kv_load_smem_elem(rc_ref, (r * 3 + i) * NLIMBS)
+                        for i in range(3)
+                    ],
+                    axis=1,
+                )
+                return addq(out, rc)
 
             return jax.lax.fori_loop(0, nrounds, rnd, s)
 
-        s0 = in_ref[:, 0:1, :]
-        s1 = in_ref[:, 1:2, :]
-        s2 = in_ref[:, 2:3, :]
+        st = in_ref[:, 0:3, :]
         xl = in_ref[:, 3:4, :]
         xr = in_ref[:, 4:5, :]
         yl = in_ref[:, 5:6, :]
         yr = in_ref[:, 6:7, :]
-        s0, s1, s2 = permute((addq(s0, xl), addq(s1, yl), s2))
-        s0, s1, s2 = permute((addq(s0, xr), addq(s1, yr), s2))
+        zero1 = jnp.zeros_like(xl)
+        st = permute(addq(st, jnp.concatenate([xl, yl, zero1], axis=1)))
+        st = permute(addq(st, jnp.concatenate([xr, yr, zero1], axis=1)))
         one = jnp.stack(
             [lax.broadcast(one_std[i], (1, LANE)) for i in range(NLIMBS)]
         )
-        chal = mulq(s0, one)  # REDC(x) = mont_mul(x, 1) = from_mont
-        o_ref[:, 0:1, :] = s0
-        o_ref[:, 1:2, :] = s1
-        o_ref[:, 2:3, :] = s2
+        chal = mulq(st[:, 0:1, :], one)  # REDC(x) = mont_mul(x, 1) = from_mont
+        o_ref[:, 0:3, :] = st
         o_ref[:, 3:4, :] = chal
 
     out = pl.pallas_call(
