@@ -474,6 +474,10 @@ def prefix_mul(F: DeviceField, a):
     """
     n = a.shape[-1]
     assert a.ndim == 2, "prefix_mul expects (16, n)"
+    if jax.default_backend() in ("tpu", "axon"):
+        from . import pallas_field
+
+        return pallas_field.mont_prefix_scan_fused(F, a)
     k = 1
     while k * k < n:
         k *= 2

@@ -764,6 +764,97 @@ def _ec_scan_kernel(F: DeviceField, C: int):
     return kernel
 
 
+def _mont_scan_kernel(F: DeviceField, C: int):
+    """Inclusive Montgomery prefix-PRODUCT scan (same blocked structure
+    as _ec_scan_kernel; the Hillis-Steele shift-in neutral is one_mont,
+    not zero). Refs are (C, 16, bg, 128)."""
+    one_np = np.array(
+        [(F.r_mod_p >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS)],
+        dtype=np.uint32,
+    )
+
+    def kernel(x_ref, o_ref):
+        def rd(c):
+            return x_ref[c]
+
+        def wr(c, t):
+            o_ref[c] = t
+
+        wr(0, rd(0))
+
+        def chunk_body(c, carry):
+            nxt = _kv_mul_redc(F, carry, rd(c))
+            wr(c, nxt)
+            return nxt
+
+        tot = jax.lax.fori_loop(1, C, chunk_body, rd(0)) if C > 1 else rd(0)
+
+        bshape = tot.shape[1:]
+        ones = jnp.stack(
+            [lax.broadcast(one_np[i], bshape) for i in range(NLIMBS)]
+        )
+
+        def shift_lanes(t, s):
+            return jnp.concatenate([ones[..., :s], t[..., : LANE - s]], axis=-1)
+
+        tot = shift_lanes(tot, 1)
+        s = 1
+        while s < LANE:
+            tot = _kv_mul_redc(F, tot, shift_lanes(tot, s))
+            s *= 2
+
+        def comb_body(c, excl):
+            wr(c, _kv_mul_redc(F, excl, o_ref[c]))
+            return excl
+
+        jax.lax.fori_loop(0, C, comb_body, tot)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def mont_prefix_scan_fused(F: DeviceField, x):
+    """Inclusive Montgomery prefix products along the LAST axis, the
+    whole blocked scan in ONE kernel (limb.prefix_mul's two lax.scans
+    cost ~0.2 ms of loop-step latency per iteration on the axon runtime
+    — ~2*sqrt(n) iterations per call)."""
+    shape = x.shape
+    n = shape[-1]
+    B = 1
+    for d in shape[1:-1]:
+        B *= d
+    C = -(-n // LANE)
+    npad = C * LANE
+
+    a = x.reshape(NLIMBS, B, n)
+    if npad != n:
+        one = jnp.broadcast_to(
+            jnp.asarray(int_to_limbs(F.r_mod_p)).reshape(NLIMBS, 1, 1),
+            (NLIMBS, B, npad - n),
+        )
+        a = jnp.concatenate([a, one], axis=-1)
+    a = a.reshape(NLIMBS, B, LANE, C).transpose(3, 0, 1, 2)
+
+    bg = max(1, min(B, 272 // C))
+    while B % bg:
+        bg -= 1
+    grid = (B // bg,)
+    spec = pl.BlockSpec(
+        (C, NLIMBS, bg, LANE), lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+    out = pl.pallas_call(
+        _mont_scan_kernel(F, C),
+        grid=grid,
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((C, NLIMBS, B, LANE), jnp.uint32),
+        interpret=_interpret(),
+    )(a)
+    out = out.transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)[:, :, :n]
+    return out.reshape(shape)
+
+
 def _ec_parts_kernel(F: DeviceField, C: int):
     """Phases 1-2 of the blocked scan only (no per-position combine).
 

@@ -160,6 +160,26 @@ def main() -> int:
         print("SCALED-BASIS MSM MISMATCH")
         failures += 1
     print("scaled-basis msm parity:", "FAIL" if failures else "OK")
+
+    # -- fused Montgomery prefix-product scan --------------------------------
+    from proof_systems_tpu.ops import pallas_field as pf2
+
+    Fb = curve.base
+    Fd = limb.device_field(Fb)
+    for B, n3 in ((2, 9), (3, 700)):
+        rows = [[rng.randrange(Fb.p) for _ in range(n3)] for _ in range(B)]
+        a = jnp.stack([Fd.pack_mont(r, shape=(n3,)) for r in rows], axis=1)
+        out = pf2.mont_prefix_scan_fused(Fd, a)
+        for j in range(B):
+            got = Fd.unpack_mont(out[:, j])
+            acc, want = 1, []
+            for v in rows[j]:
+                acc = acc * v % Fb.p
+                want.append(acc)
+            if got != want:
+                print(f"MONT SCAN MISMATCH B={B} n={n3} row={j}")
+                failures += 1
+    print("mont_prefix_scan_fused parity:", "FAIL" if failures else "OK")
     return 1 if failures else 0
 
 

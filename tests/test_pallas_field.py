@@ -218,3 +218,28 @@ def test_ec_prefix_scan_fused_parity():
             acc = curve.add(acc, ptv)
             want.append(acc)
         assert got == want
+
+
+@pytest.mark.heavy
+def test_mont_prefix_scan_fused_parity():
+    """Fused in-kernel blocked product scan vs host cumulative products."""
+    import jax.numpy as jnp
+
+    Fb = Vesta.base
+    F = limb.device_field(Fb)
+    rng = random.Random(61)
+    B, n = 2, 9
+    rows = [[rng.randrange(Fb.p) for _ in range(n)] for _ in range(B)]
+    rows[0][2] = 1
+    a = jnp.stack(
+        [F.pack_mont(r, shape=(n,)) for r in rows], axis=1
+    )  # (16, B, n)
+    out = pf.mont_prefix_scan_fused(F, a)
+    for j in range(B):
+        got = F.unpack_mont(out[:, j])
+        acc = 1
+        want = []
+        for v in rows[j]:
+            acc = acc * v % Fb.p
+            want.append(acc)
+        assert got == want
