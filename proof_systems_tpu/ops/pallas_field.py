@@ -403,37 +403,73 @@ def jacobian_double(F: DeviceField, px, py, pz):
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def mont_pow_fused(F: DeviceField, a: jax.Array, e: int) -> jax.Array:
-    """a^e (Montgomery, static exponent) with the whole square-and-multiply
-    chain inside ONE kernel (vs ops/limb.mont_pow's ~e.bit_length() XLA
-    loop iterations)."""
+    """a^e (Montgomery, static exponent) with the whole chain inside ONE
+    kernel (vs ops/limb.mont_pow's ~e.bit_length() XLA loop iterations).
+
+    Large exponents use 4-bit windows MSB-first: a 15-entry table (14
+    multiplies) then 4 squarings + 1 table multiply per nibble —
+    ~334 in-kernel multiplies for a 255-bit Fermat inverse instead of
+    ~510 for binary square-and-multiply."""
     shape = a.shape
     ap, n = _pad_to_block(a)
-    nbits = max(e.bit_length(), 1)
-    bits = jnp.asarray(
-        np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.int32)
-    )
     one_np = np.array(
         [(F.r_mod_p >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS)],
         dtype=np.uint32,
     )
+    m = ap.shape[1]
 
-    def kernel(bits_ref, a_ref, o_ref):
-        base0 = a_ref[...]
-        one = jnp.stack(
-            [lax.broadcast(one_np[i], base0.shape[1:]) for i in range(NLIMBS)]
+    if e.bit_length() >= 32:
+        nd = (e.bit_length() + 3) // 4
+        digs = jnp.asarray(
+            np.array(
+                [(e >> (4 * (nd - 1 - i))) & 15 for i in range(nd)],
+                dtype=np.int32,
+            )
         )
 
-        def body(i, carry):
-            acc, base = carry
-            prod = _kv_mul_redc(F, acc, base)
-            acc = jnp.where(bits_ref[i] == 1, prod, acc)
-            base = _kv_mul_redc(F, base, base)
-            return acc, base
+        def kernel(dig_ref, a_ref, o_ref):
+            base = a_ref[...]
+            one = jnp.stack(
+                [lax.broadcast(one_np[i], base.shape[1:]) for i in range(NLIMBS)]
+            )
+            tab = [one, base]
+            for _ in range(14):
+                tab.append(_kv_mul_redc(F, tab[-1], base))
+            tab = jnp.stack(tab, axis=0)  # (16 digits, 16, rows, lanes)
 
-        acc, _ = jax.lax.fori_loop(0, nbits, body, (one, base0))
-        o_ref[...] = acc
+            def body(i, acc):
+                for _ in range(4):
+                    acc = _kv_mul_redc(F, acc, acc)
+                td = jax.lax.dynamic_index_in_dim(
+                    tab, dig_ref[i], axis=0, keepdims=False
+                )
+                return _kv_mul_redc(F, acc, td)
 
-    m = ap.shape[1]
+            o_ref[...] = jax.lax.fori_loop(0, nd, body, one)
+
+        sm = digs
+    else:
+        nbits = max(e.bit_length(), 1)
+        sm = jnp.asarray(
+            np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.int32)
+        )
+
+        def kernel(bits_ref, a_ref, o_ref):
+            base0 = a_ref[...]
+            one = jnp.stack(
+                [lax.broadcast(one_np[i], base0.shape[1:]) for i in range(NLIMBS)]
+            )
+
+            def body(i, carry):
+                acc, base = carry
+                prod = _kv_mul_redc(F, acc, base)
+                acc = jnp.where(bits_ref[i] == 1, prod, acc)
+                base = _kv_mul_redc(F, base, base)
+                return acc, base
+
+            acc, _ = jax.lax.fori_loop(0, nbits, body, (one, base0))
+            o_ref[...] = acc
+
     out = pl.pallas_call(
         kernel,
         grid=(m // BLOCK_ROWS,),
@@ -444,7 +480,7 @@ def mont_pow_fused(F: DeviceField, a: jax.Array, e: int) -> jax.Array:
         out_specs=_field_block_spec(),
         out_shape=jax.ShapeDtypeStruct((NLIMBS, m, LANE), jnp.uint32),
         interpret=_interpret(),
-    )(bits, ap)
+    )(sm, ap)
     return _unpad(out, n).reshape(shape)
 
 
@@ -641,8 +677,11 @@ def endo_inv_fused(F: DeviceField, endo: int, bits):
     """
     p = F.p
     e = p - 2
-    ebits = jnp.asarray(
-        np.array([(e >> i) & 1 for i in range(e.bit_length())], dtype=np.int32)
+    nd = (e.bit_length() + 3) // 4
+    edigs = jnp.asarray(
+        np.array(
+            [(e >> (4 * (nd - 1 - i))) & 15 for i in range(nd)], dtype=np.int32
+        )
     )
     endo_np = int_to_limbs(endo * F.r_mod_p % p)
     two_np = int_to_limbs(2 * F.r_mod_p % p)
@@ -681,12 +720,21 @@ def endo_inv_fused(F: DeviceField, endo: int, bits):
         a, b = jax.lax.fori_loop(0, 64, body, (two, two))
         u = addq(mulq(a, endo_t), b)
 
-        def pbody(i, carry):
-            acc, base = carry
-            acc = jnp.where(ebits_ref[i] == 1, mulq(acc, base), acc)
-            return acc, mulq(base, base)
+        # windowed Fermat inverse (4-bit MSB-first digits in SMEM)
+        tab = [one, u]
+        for _ in range(14):
+            tab.append(mulq(tab[-1], u))
+        tab = jnp.stack(tab, axis=0)
 
-        u_inv, _ = jax.lax.fori_loop(0, e.bit_length(), pbody, (one, u))
+        def pbody(i, acc):
+            for _ in range(4):
+                acc = mulq(acc, acc)
+            td = jax.lax.dynamic_index_in_dim(
+                tab, ebits_ref[i], axis=0, keepdims=False
+            )
+            return mulq(acc, td)
+
+        u_inv = jax.lax.fori_loop(0, nd, pbody, one)
         o_ref[:, 0:1, :] = u
         o_ref[:, 1:2, :] = u_inv
 
@@ -696,7 +744,7 @@ def endo_inv_fused(F: DeviceField, endo: int, bits):
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((NLIMBS, BLOCK_ROWS, LANE), jnp.uint32),
         interpret=_interpret(),
-    )(bits, ebits)
+    )(bits, edigs)
     return out[:, 0:1, 0], out[:, 1:2, 0]
 
 
@@ -851,6 +899,109 @@ def mont_prefix_scan_fused(F: DeviceField, x):
         out_shape=jax.ShapeDtypeStruct((C, NLIMBS, B, LANE), jnp.uint32),
         interpret=_interpret(),
     )(a)
+    out = out.transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)[:, :, :n]
+    return out.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def linear_scan_fused(F: DeviceField, x, c_int: int):
+    """Inclusive first-order recurrence s_j = x_j + c·s_{j-1} (STATIC c)
+    along the last axis, one kernel. Used for division by (X - c): with
+    x the REVERSED coefficients, s is poly.divide_by_linear's scan.
+
+    Blocked like the prefix scans; every segment map is x -> V + c^C·x
+    (uniform multiplier), so the lane Hillis-Steele multiplier is the
+    static constant c^(C·2^k) per level and the per-chunk combine
+    multiplier c^(chunk+1) comes from an SMEM power table."""
+    p = F.p
+    shape = x.shape
+    n = shape[-1]
+    B = 1
+    for d in shape[1:-1]:
+        B *= d
+    C = -(-n // LANE)
+    npad = C * LANE
+
+    a = x.reshape(NLIMBS, B, n)
+    if npad != n:
+        a = jnp.pad(a, [(0, 0), (0, 0), (0, npad - n)])
+    a = a.reshape(NLIMBS, B, LANE, C).transpose(3, 0, 1, 2)
+
+    # static Montgomery-form constants: c, c^(C·2^k) for the HS levels,
+    # and the SMEM table c^(chunk+1) for the combine phase
+    cm = int_to_limbs(c_int % p * F.r_mod_p % p)
+    hs_consts = [
+        int_to_limbs(pow(c_int, C * (1 << k), p) * F.r_mod_p % p)
+        for k in range(7)  # LANE = 2^7
+    ]
+    ctab = np.concatenate(
+        [
+            int_to_limbs(pow(c_int, ci + 1, p) * F.r_mod_p % p)
+            for ci in range(C)
+        ]
+    ).astype(np.uint32)  # (C*16,), limbs of c^(ci+1) at ci*16
+
+    bg = max(1, min(B, 272 // C))
+    while B % bg:
+        bg -= 1
+    grid = (B // bg,)
+    spec = pl.BlockSpec(
+        (C, NLIMBS, bg, LANE), lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM if pltpu else None)
+
+    def kernel(tab_ref, x_ref, o_ref):
+        def const_tile(v, bshape):
+            return jnp.stack(
+                [lax.broadcast(np.uint32(v[i]), bshape) for i in range(NLIMBS)]
+            )
+
+        def rd(c):
+            return x_ref[c]
+
+        bshape = rd(0).shape[1:]
+        cmt = const_tile(cm, bshape)
+
+        o_ref[0] = rd(0)
+
+        def chunk_body(c, carry):
+            nxt = _kv_add(F, rd(c), _kv_mul_redc(F, cmt, carry))
+            o_ref[c] = nxt
+            return nxt
+
+        tot = jax.lax.fori_loop(1, C, chunk_body, rd(0)) if C > 1 else rd(0)
+
+        def shift_lanes(t, s):
+            return lax.pad(
+                t, _Z, [(0, 0, 0)] * (t.ndim - 1) + [(s, 0, 0)]
+            )[..., :LANE]
+
+        # lane recurrence S_l = V_l + c^C·S_{l-1}: uniform-multiplier HS
+        for k in range(7):
+            qk = const_tile(hs_consts[k], bshape)
+            tot = _kv_add(F, tot, _kv_mul_redc(F, qk, shift_lanes(tot, 1 << k)))
+        excl = shift_lanes(tot, 1)  # E_l = S_{l-1}
+
+        def comb_body(c, _):
+            rows = [
+                lax.broadcast(tab_ref[c * NLIMBS + l], bshape)
+                for l in range(NLIMBS)
+            ]
+            qc = jnp.stack(rows)
+            o_ref[c] = _kv_add(F, o_ref[c], _kv_mul_redc(F, qc, excl))
+            return _
+
+        jax.lax.fori_loop(0, C, comb_body, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((C, NLIMBS, B, LANE), jnp.uint32),
+        interpret=_interpret(),
+    )(jnp.asarray(ctab), a)
     out = out.transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)[:, :, :n]
     return out.reshape(shape)
 

@@ -211,20 +211,26 @@ def _quotient_fn(index: ProverIndex):
 
 def _divide_by_linear_dev(F, coeffs, c: int):
     """poly.divide_by_linear with the remainder left on device."""
-    from .ops.scan import blocked_prefix_scan
-
     L = coeffs.shape[-1]
     rev = coeffs[..., ::-1]
-    ones = jnp.broadcast_to(F.one_mont((1,)), rev.shape)
-    cs_arr = jnp.broadcast_to(F.const_mont(c, (1,)), rev.shape)
+    if jax.default_backend() in ("tpu", "axon"):
+        # s_j = rev_j + c·s_{j-1} with STATIC c: one fused kernel
+        from .ops import pallas_field
 
-    def op(x, y):
-        v1, m1 = x
-        v2, m2 = y
-        return (limb.add(F, v2, limb.mont_mul(F, m2, v1)), limb.mont_mul(F, m1, m2))
+        vs = pallas_field.linear_scan_fused(F, rev, c)
+    else:
+        from .ops.scan import blocked_prefix_scan
 
-    ident = (F.zeros((1,)), F.one_mont((1,)))
-    vs, _ = blocked_prefix_scan(op, ident, (rev, cs_arr), L)
+        ones = jnp.broadcast_to(F.one_mont((1,)), rev.shape)
+        cs_arr = jnp.broadcast_to(F.const_mont(c, (1,)), rev.shape)
+
+        def op(x, y):
+            v1, m1 = x
+            v2, m2 = y
+            return (limb.add(F, v2, limb.mont_mul(F, m2, v1)), limb.mont_mul(F, m1, m2))
+
+        ident = (F.zeros((1,)), F.one_mont((1,)))
+        vs, _ = blocked_prefix_scan(op, ident, (rev, cs_arr), L)
     q = vs[..., : L - 1][..., ::-1]
     rem = vs[..., L - 1 : L]
     return q, rem

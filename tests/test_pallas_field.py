@@ -243,3 +243,26 @@ def test_mont_prefix_scan_fused_parity():
             acc = acc * v % Fb.p
             want.append(acc)
         assert got == want
+
+
+@pytest.mark.heavy
+def test_linear_scan_fused_parity():
+    """s_j = x_j + c*s_{j-1} fused kernel vs host recurrence."""
+    import jax.numpy as jnp
+
+    Fb = Vesta.base
+    F = limb.device_field(Fb)
+    rng = random.Random(62)
+    c = rng.randrange(Fb.p)
+    B, n = 2, 7
+    rows = [[rng.randrange(Fb.p) for _ in range(n)] for _ in range(B)]
+    a = jnp.stack([F.pack_mont(r, shape=(n,)) for r in rows], axis=1)
+    out = pf.linear_scan_fused(F, a, c)
+    for j in range(B):
+        got = F.unpack_mont(out[:, j])
+        s = 0
+        want = []
+        for v in rows[j]:
+            s = (v + c * s) % Fb.p
+            want.append(s)
+        assert got == want
