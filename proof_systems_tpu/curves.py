@@ -82,6 +82,22 @@ class CurveParams:
         return (x3, y3)
 
     def scalar_mul(self, k: int, pt: AffinePoint) -> AffinePoint:
+        """k·pt; large scalars go through the native Pippenger (a Python
+        double-and-add pays a Python modular inverse per step — ~12 ms
+        per 255-bit scalar-mul vs ~0.1 ms native)."""
+        k %= self.scalar.p
+        if pt is None or k == 0:
+            return None
+        if k > 0xFFFF:
+            from .native import native_curve
+
+            nat = native_curve(self)
+            if nat is not None:
+                return nat.msm([k], [pt])
+        return self.scalar_mul_py(k, pt)
+
+    def scalar_mul_py(self, k: int, pt: AffinePoint) -> AffinePoint:
+        """Pure-Python golden model (used by msm_py and parity tests)."""
         k %= self.scalar.p
         acc: AffinePoint = None
         add_pt = pt
@@ -109,7 +125,7 @@ class CurveParams:
     def msm_py(self, scalars: list[int], points: list[AffinePoint]) -> AffinePoint:
         acc: AffinePoint = None
         for k, pt in zip(scalars, points, strict=True):
-            acc = self.add(acc, self.scalar_mul(k, pt))
+            acc = self.add(acc, self.scalar_mul_py(k, pt))
         return acc
 
     # --- endomorphism (poly-commitment/src/ipa.rs:110-127) ---

@@ -148,10 +148,14 @@ class DeviceField:
     # -- host conversion --------------------------------------------------
 
     def pack_mont(self, xs: Sequence[int], shape=None) -> jax.Array:
-        """Python ints (standard form) -> device array in Montgomery form."""
-        r = self.r_mod_p
+        """Python ints (standard form) -> device array in Montgomery form.
+
+        The R-multiplication happens ON DEVICE (one batched mont_mul by
+        R^2): the host Python `x * r % p` loop was ~0.6 us/element —
+        ~25 ms per witness pack at k=11."""
         p = self.p
-        return jnp.asarray(ints_to_limbs([x % p * r % p for x in xs], shape))
+        arr = jnp.asarray(ints_to_limbs([x % p for x in xs], shape))
+        return to_mont(self, arr)
 
     def unpack_mont(self, arr) -> list[int]:
         rinv = self.r_inv
