@@ -276,10 +276,15 @@ def create_proof(
         fq_sponge.absorb_g(rc.comm.chunks)
 
     # -- 3. public polynomial (negated) ------------------------------------
-    public_evals_d1 = [(-x) % p for x in public] + [0] * (n - cs.public)
-    public_dev = F.pack_mont(public_evals_d1, shape=(1, n))
-    public_coeffs = d1.intt(public_dev)  # (16, 1, n)
-    public_comm = index.srs.commit_coeffs_dev(public_coeffs, nc, [[1] * nc])[0]
+    if cs.public == 0:
+        # zero polynomial: commit = 0·G + 1·H = H per chunk — no MSM
+        public_coeffs = F.zeros((1, n))
+        public_comm = PolyComm([index.srs.h] * nc)
+    else:
+        public_evals_d1 = [(-x) % p for x in public] + [0] * (n - cs.public)
+        public_dev = F.pack_mont(public_evals_d1, shape=(1, n))
+        public_coeffs = d1.intt(public_dev)  # (16, 1, n)
+        public_comm = index.srs.commit_coeffs_dev(public_coeffs, nc, [[1] * nc])[0]
     fq_sponge.absorb_g(public_comm.chunks)
 
     checkpoint("set_up_fq_sponge")
