@@ -80,12 +80,15 @@ def _scan_sum(curve: DeviceCurve, pts: JPoint, n: int, ident: JPoint) -> JPoint:
 
 
 def scale_basis(curve: DeviceCurve, points: APoint, c: int, windows: int) -> JPoint:
-    """Per-window scaled bases 2^{cw}·P_i, leaves (16, W, n) Jacobian.
+    """Per-window scaled bases 2^{cw}·P_i, leaves (16, W, n), normalized
+    to affine encoding (z ∈ {0, 1·R}) via one batch inversion.
 
     With the bases pre-scaled, the MSM's window recombination collapses
     from a Horner chain of ~W·(c+1) SEQUENTIAL EC ops (~0.07 ms each of
     single-tile kernel latency) to a log2(W) pairwise tree — the bases
-    are fixed per SRS, so the doubling chain runs once per process."""
+    are fixed per SRS, so the doubling chain runs once per process. The
+    affine normalization keeps the scan's mixed-addition fast path and
+    drops the z-coordinate gather."""
     J = curve.to_jacobian(points)
     levels = [J]
     for _ in range(1, windows):
@@ -93,11 +96,12 @@ def scale_basis(curve: DeviceCurve, points: APoint, c: int, windows: int) -> JPo
         for _ in range(c):
             Jp = curve.double(Jp)
         levels.append(Jp)
-    return JPoint(
+    stacked = JPoint(
         jnp.stack([l.x for l in levels], axis=1),
         jnp.stack([l.y for l in levels], axis=1),
         jnp.stack([l.z for l in levels], axis=1),
     )
+    return curve.to_jacobian(curve.to_affine(stacked))
 
 
 def sum_windows(curve: DeviceCurve, wins: JPoint) -> JPoint:
@@ -278,7 +282,7 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
         from . import pallas_field
 
         (qx, qy, qz), (ex, ey, ez), C = pallas_field.ec_prefix_scan_parts(
-            curve.F, jac.x, jac.y, jac.z
+            curve.F, jac.x, jac.y, jac.z, mixed=True
         )
 
         def cum_at(t):

@@ -232,6 +232,52 @@ def _kv_ec_double(F: DeviceField, p1):
     return dx, dy, dz
 
 
+def _kv_ec_madd(F: DeviceField, p1, q2):
+    """Mixed addition: p1 Jacobian + q2 AFFINE-ENCODED (z2 ∈ {0, 1·R}:
+    0 marks infinity, otherwise exactly one in Montgomery form).
+    madd-2007-bl (7M+4S vs the general add's 11M+5S) with the same
+    complete-law select fallbacks as _kv_ec_add; the doubling fallback
+    doubles q2's representation (same group element when h=r=0)."""
+    (x1, y1, z1), (x2, y2, z2) = p1, q2
+    mul = lambda u, v: _kv_mul_redc(F, u, v)
+    add_ = lambda u, v: _kv_add(F, u, v)
+    sub_ = lambda u, v: _kv_sub(F, u, v)
+    p_inf = _kv_is_zero(z1)
+    q_inf = _kv_is_zero(z2)
+    z1z1 = mul(z1, z1)
+    u2 = mul(x2, z1z1)
+    s2 = mul(y2, mul(z1, z1z1))
+    h = sub_(u2, x1)
+    rr = sub_(s2, y1)
+    r2 = add_(rr, rr)
+    h_zero = _kv_is_zero(h)
+    r_zero = _kv_is_zero(r2)
+    h2 = add_(h, h)
+    i = mul(h2, h2)
+    j = mul(h, i)
+    v = mul(x1, i)
+    r2sq = mul(r2, r2)
+    x3 = sub_(sub_(r2sq, j), add_(v, v))
+    s1j = mul(y1, j)
+    y3 = sub_(mul(r2, sub_(v, x3)), add_(s1j, s1j))
+    z3 = mul(add_(z1, z1), h)  # (Z1+H)^2 - Z1Z1 - HH = 2·Z1·H
+    dx, dy, dz = _kv_ec_double(F, (x2, y2, z2))
+    use_dbl = jnp.logical_and(h_zero, r_zero)
+    to_inf = jnp.logical_and(h_zero, jnp.logical_not(r_zero))
+    zero = jnp.zeros_like(x3)
+    x = _kv_select(use_dbl, dx, x3)
+    y = _kv_select(use_dbl, dy, y3)
+    z = _kv_select(use_dbl, dz, z3)
+    z = _kv_select(jnp.logical_and(to_inf, jnp.logical_not(p_inf)), zero, z)
+    x = _kv_select(p_inf, x2, x)
+    y = _kv_select(p_inf, y2, y)
+    z = _kv_select(p_inf, z2, z)
+    x = _kv_select(q_inf, x1, x)
+    y = _kv_select(q_inf, y1, y)
+    z = _kv_select(q_inf, z1, z)
+    return x, y, z
+
+
 def _kv_ec_add(F: DeviceField, p1, p2):
     """Complete Jacobian add (add-2007-bl + dbl/inf fallbacks)."""
     (x1, y1, z1), (x2, y2, z2) = p1, p2
@@ -1006,8 +1052,12 @@ def linear_scan_fused(F: DeviceField, x, c_int: int):
     return out.reshape(shape)
 
 
-def _ec_parts_kernel(F: DeviceField, C: int):
+def _ec_parts_kernel(F: DeviceField, C: int, mixed: bool = False):
     """Phases 1-2 of the blocked scan only (no per-position combine).
+
+    mixed=True: the INPUTS are affine-encoded (z ∈ {0, 1·R}) and the
+    sequential chunk accumulation uses the cheaper mixed addition
+    (madd-2007-bl) — phases 2+ stay general Jacobian adds.
 
     Outputs: partial (C, 16, bg, 128) inclusive chunk-scan values and
     excl (16, bg, 128) EXCLUSIVE lane offsets, so the inclusive prefix of
@@ -1027,9 +1077,10 @@ def _ec_parts_kernel(F: DeviceField, C: int):
             oz_ref[c] = t[2]
 
         wr(0, rd(0))
+        step = _kv_ec_madd if mixed else _kv_ec_add
 
         def chunk_body(c, carry):
-            nxt = _kv_ec_add(F, carry, rd(c))
+            nxt = step(F, carry, rd(c))
             wr(c, nxt)
             return nxt
 
@@ -1054,7 +1105,7 @@ def _ec_parts_kernel(F: DeviceField, C: int):
     return kernel
 
 
-def ec_prefix_scan_parts(F: DeviceField, x, y, z):
+def ec_prefix_scan_parts(F: DeviceField, x, y, z, mixed: bool = False):
     """Blocked-scan PARTS along the last axis (see _ec_parts_kernel).
 
     x/y/z: (16, *batch, n) Montgomery Jacobian limbs (z == 0 = identity).
@@ -1097,7 +1148,7 @@ def ec_prefix_scan_parts(F: DeviceField, x, y, z):
         jax.ShapeDtypeStruct((NLIMBS, B, LANE), jnp.uint32) for _ in range(3)
     )
     ox, oy, oz, ex, ey, ez = pl.pallas_call(
-        _ec_parts_kernel(F, C),
+        _ec_parts_kernel(F, C, mixed),
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=(spec, spec, spec, espec, espec, espec),
