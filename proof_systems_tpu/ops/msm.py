@@ -23,6 +23,7 @@ compiled-graph size in both n and the window count:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -381,12 +382,23 @@ def msm(
             ],
             axis=1,
         )
-    if scaled is not None:
-        assert scaled.x.shape[1] == -(-255 // c), "scaled bases don't match c"
-        packed = _msm_affine_scaled(curve, scalars_std, scaled, c)
-    else:
-        packed = _msm_affine(curve, scalars_std, points, c)
-    return _decode_packed_affine(curve, packed)[:orig_b]
+    # HBM guard: the gathered per-window arrays are (16, W, b, n) x ~8
+    # live buffers. Split the batch when W*b*n exceeds the budget
+    # (~0.5 GB/buffer) so k=15/16 witness commits fit on one chip.
+    max_elems = int(os.environ.get("PST_MSM_MAX_ELEMS", str(1 << 23)))
+    split = b_pad
+    while split > 1 and windows * split * n > max_elems:
+        split //= 2
+    out = []
+    for lo in range(0, b_pad, split):
+        part = scalars_std[:, lo : lo + split]
+        if scaled is not None:
+            assert scaled.x.shape[1] == windows, "scaled bases don't match c"
+            packed = _msm_affine_scaled(curve, part, scaled, c)
+        else:
+            packed = _msm_affine(curve, part, points, c)
+        out.extend(_decode_packed_affine(curve, packed))
+    return out[:orig_b]
 
 
 def msm_host_scalars(curve_params: CurveParams, scalars: list[list[int]], points: APoint):

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Kernel micro-benchmarks on real TPU.
+
+Usage:
+    python scripts/tpu_kernel_bench.py            # one config
+    python scripts/tpu_kernel_bench.py sweep      # BLOCK_ROWS sweep via
+                                                  # subprocesses
+
+Measures steady-state throughput of the hot pallas kernels at bench
+shapes (k=11 class): mont_mul, the mixed-add EC parts scan, a full MSM
+window-sum graph, and the fused prefix-product scan.
+"""
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def sweep():
+    for br in (8, 16, 32, 64):
+        env = dict(os.environ, PST_BLOCK_ROWS=str(br))
+        print(f"===== BLOCK_ROWS={br}", flush=True)
+        subprocess.run([sys.executable, __file__], env=env, timeout=1200)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache_tpu")
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import random
+
+    from proof_systems_tpu.curves import Vesta
+    from proof_systems_tpu.ops import limb, msm
+    from proof_systems_tpu.ops import pallas_field as pf
+    from proof_systems_tpu.ops.curve_ops import device_curve
+
+    assert jax.default_backend() in ("tpu", "axon"), "needs real TPU"
+    print("BLOCK_ROWS =", pf.BLOCK_ROWS, flush=True)
+    dc = device_curve(Vesta)
+    F = dc.F
+    rng = random.Random(7)
+
+    def timeit(name, fn, reps=20):
+        r = jax.block_until_ready(fn())  # compile + 1st
+        t0 = time.time()
+        for _ in range(reps):
+            r = jax.block_until_ready(fn())
+        dt = (time.time() - t0) / reps
+        print(f"{name:42s} {dt*1e3:9.3f} ms", flush=True)
+        return dt
+
+    # mont_mul at 2^20
+    n = 1 << 20
+    a = F.pack_mont([rng.randrange(F.p) for _ in range(256)] * (n // 256), shape=(n,))
+    dt = timeit("mont_mul 2^20", lambda: pf.mont_mul(F, a, a))
+    print(f"    -> {n/dt/1e6:.0f} M muls/s", flush=True)
+
+    # EC parts scan at the witness-commit shape (W=32, b=16, n=2049)
+    W, b, nn = 32, 16, 2049
+    pts = dc.pack_affine(
+        [Vesta.scalar_mul(i + 1, Vesta.generator) for i in range(64)] * ((W * b * nn) // 64 + 1)
+    )
+    xs = pts.x[:, : W * b * nn].reshape(limb.NLIMBS, W, b, nn)
+    ys = pts.y[:, : W * b * nn].reshape(limb.NLIMBS, W, b, nn)
+    one = F.one_mont((W, b, nn))
+
+    def scan_fn():
+        (qx, qy, qz), (ex, ey, ez), C = pf.ec_prefix_scan_parts(F, xs, ys, one, mixed=True)
+        return qz
+
+    dt = timeit(f"ec parts scan mixed (W={W},b={b},n={nn})", scan_fn, reps=5)
+    print(f"    -> {W*b*nn/dt/1e6:.1f} M EC madds/s", flush=True)
+
+    # full commit MSM (scaled bases) at k=11 witness shape
+    from proof_systems_tpu.poly_commitment.srs import SRS
+
+    srs = SRS.create(Vesta, 2048)
+    coeffs = F.pack_mont(
+        [rng.randrange(F.p) for _ in range(16 * 2048)], shape=(16, 2048)
+    )
+    blinders = [[rng.randrange(F.p)] for _ in range(16)]
+    timeit("commit_coeffs_dev b=16 n=2048", lambda: srs.commit_coeffs_dev(coeffs, 1, blinders)[0].chunks[0], reps=5)
+
+    # fused prefix product at z-perm shape
+    zp = F.pack_mont([rng.randrange(1, F.p) for _ in range(2048)], shape=(1, 2048))
+    timeit("mont_prefix_scan 2048", lambda: pf.mont_prefix_scan_fused(F, zp))
+
+    # fused pow (Fermat inverse)
+    timeit("mont_pow_fused p-2 (1 elem)", lambda: pf.mont_pow_fused(F, zp[:, :, :1], F.p - 2))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep()
+    else:
+        main()
