@@ -447,6 +447,18 @@ def jacobian_double(F: DeviceField, px, py, pz):
 # ---------------------------------------------------------------------------
 
 
+def _tab_select(tab, d):
+    """tab[d] for a python list of equal-shaped arrays and a traced scalar
+    d. Mosaic TC cannot lower dynamic_slice on VALUES (only refs), so a
+    stacked-table dynamic_index_in_dim fails to compile; a chain of
+    scalar-predicate selects lowers fine and is VPU-cheap next to the
+    mont-mul work per loop step."""
+    td = tab[0]
+    for j in range(1, len(tab)):
+        td = jnp.where(d == j, tab[j], td)
+    return td
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def mont_pow_fused(F: DeviceField, a: jax.Array, e: int) -> jax.Array:
     """a^e (Montgomery, static exponent) with the whole chain inside ONE
@@ -481,15 +493,11 @@ def mont_pow_fused(F: DeviceField, a: jax.Array, e: int) -> jax.Array:
             tab = [one, base]
             for _ in range(14):
                 tab.append(_kv_mul_redc(F, tab[-1], base))
-            tab = jnp.stack(tab, axis=0)  # (16 digits, 16, rows, lanes)
 
             def body(i, acc):
                 for _ in range(4):
                     acc = _kv_mul_redc(F, acc, acc)
-                td = jax.lax.dynamic_index_in_dim(
-                    tab, dig_ref[i], axis=0, keepdims=False
-                )
-                return _kv_mul_redc(F, acc, td)
+                return _kv_mul_redc(F, acc, _tab_select(tab, dig_ref[i]))
 
             o_ref[...] = jax.lax.fori_loop(0, nd, body, one)
 
@@ -770,15 +778,11 @@ def endo_inv_fused(F: DeviceField, endo: int, bits):
         tab = [one, u]
         for _ in range(14):
             tab.append(mulq(tab[-1], u))
-        tab = jnp.stack(tab, axis=0)
 
         def pbody(i, acc):
             for _ in range(4):
                 acc = mulq(acc, acc)
-            td = jax.lax.dynamic_index_in_dim(
-                tab, ebits_ref[i], axis=0, keepdims=False
-            )
-            return mulq(acc, td)
+            return mulq(acc, _tab_select(tab, ebits_ref[i]))
 
         u_inv = jax.lax.fori_loop(0, nd, pbody, one)
         o_ref[:, 0:1, :] = u
@@ -904,6 +908,18 @@ def _mont_scan_kernel(F: DeviceField, C: int):
         jax.lax.fori_loop(0, C, comb_body, tot)
 
     return kernel
+
+
+def _bg_grid(B: int, C: int, cap_rows: int):
+    """Mosaic-legal batch grouping for (C, 16, bg, LANE) scan blocks: the
+    sublane dim bg must be a multiple of 8 OR equal to the full array
+    batch dim. cap_rows bounds C*bg (VMEM). Returns (bg, Bpad); callers
+    pad the batch axis B -> Bpad (zero rows = identity scans, discarded)."""
+    cap = max(1, cap_rows // C)
+    if B <= cap:
+        return B, B
+    bg = max(8, cap - cap % 8)
+    return bg, -(-B // bg) * bg
 
 
 @functools.partial(jax.jit, static_argnums=0)
