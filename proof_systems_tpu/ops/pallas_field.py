@@ -65,6 +65,24 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+# v5e has 128 MiB VMEM/core; Mosaic's default scoped-vmem limit is 16 MiB.
+# The EC scan kernels keep a (16, bg, 128)-shaped Jacobian carry plus the
+# Hillis-Steele temporaries on the kernel stack, which overflows 16 MiB at
+# bg=8 (observed: 17.19M at C=17). Raise the per-kernel cap; actual usage
+# is still bounded by the block sizing below.
+_EC_VMEM_LIMIT = int(os.environ.get("PST_EC_VMEM_LIMIT", str(96 * 1024 * 1024)))
+
+
+def _ec_compiler_params(dims: tuple | None = None):
+    if pltpu is None or _interpret():
+        return None
+    kw = {"vmem_limit_bytes": _EC_VMEM_LIMIT}
+    if dims is not None:
+        # carry lives in scratch across grid steps: force sequential iteration
+        kw["dimension_semantics"] = dims
+    return pltpu.CompilerParams(**kw)
+
+
 # ---------------------------------------------------------------------------
 # In-kernel limb arithmetic on STACKED (16, rows, lanes) uint32 arrays
 # ---------------------------------------------------------------------------
@@ -838,19 +856,9 @@ def _ec_scan_kernel(F: DeviceField, C: int):
 
         tot = jax.lax.fori_loop(1, C, chunk_body, rd(0)) if C > 1 else rd(0)
 
-        # 2. Hillis-Steele across the 128 lane segment-totals (static
-        # shifts; shifted-in zeros have z=0 = the group identity)
-        def shift_lanes(t, s):
-            def sh(a):
-                return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(s, 0)])[..., :LANE]
-
-            return (sh(t[0]), sh(t[1]), sh(t[2]))
-
-        s = 1
-        while s < LANE:
-            tot = _kv_ec_add(F, tot, shift_lanes(tot, s))
-            s *= 2
-        excl = shift_lanes(tot, 1)  # exclusive lane prefix
+        # 2. exclusive Hillis-Steele across the 128 lane segment-totals
+        # (one traced EC add on TPU via fori + dynamic roll)
+        excl = _hs_scan_ec(F, tot)
 
         # 3. combine lane offsets into every chunk (EC add traced once)
         def comb_body(c, excl):
@@ -891,35 +899,120 @@ def _mont_scan_kernel(F: DeviceField, C: int):
         ones = jnp.stack(
             [lax.broadcast(one_np[i], bshape) for i in range(NLIMBS)]
         )
-
-        def shift_lanes(t, s):
-            return jnp.concatenate([ones[..., :s], t[..., : LANE - s]], axis=-1)
-
-        tot = shift_lanes(tot, 1)
-        s = 1
-        while s < LANE:
-            tot = _kv_mul_redc(F, tot, shift_lanes(tot, s))
-            s *= 2
+        excl0 = _hs_scan_mont(F, tot, ones)
 
         def comb_body(c, excl):
             wr(c, _kv_mul_redc(F, excl, o_ref[c]))
             return excl
 
-        jax.lax.fori_loop(0, C, comb_body, tot)
+        jax.lax.fori_loop(0, C, comb_body, excl0)
 
     return kernel
 
 
-def _bg_grid(B: int, C: int, cap_rows: int):
-    """Mosaic-legal batch grouping for (C, 16, bg, LANE) scan blocks: the
-    sublane dim bg must be a multiple of 8 OR equal to the full array
-    batch dim. cap_rows bounds C*bg (VMEM). Returns (bg, Bpad); callers
-    pad the batch axis B -> Bpad (zero rows = identity scans, discarded)."""
-    cap = max(1, cap_rows // C)
-    if B <= cap:
-        return B, B
-    bg = max(8, cap - cap % 8)
-    return bg, -(-B // bg) * bg
+def _mont_parts_kernel(F: DeviceField, cb: int, nC: int):
+    """Streamed phases 1-2 of the Montgomery product scan (structure of
+    _ec_parts_kernel): grid step (i, j) folds chunk block j into a VMEM
+    scratch carry; the last step emits the exclusive per-lane offsets.
+    Bounds VMEM at any n (batch inversions over W·n scaled-basis arrays
+    reach C≈8192 at k=15 — a whole-(C,...) block can never fit)."""
+    one_np = np.array(
+        [(F.r_mod_p >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS)],
+        dtype=np.uint32,
+    )
+
+    def kernel(x_ref, o_ref, e_ref, c_ref):
+        j = pl.program_id(1)
+
+        def chunk_body(c, carry):
+            nxt = _kv_mul_redc(F, carry, x_ref[c])
+            o_ref[c] = nxt
+            return nxt
+
+        @pl.when(j == 0)
+        def _seed():
+            first = x_ref[0]
+            o_ref[0] = first
+            c_ref[...] = (
+                jax.lax.fori_loop(1, cb, chunk_body, first) if cb > 1 else first
+            )
+
+        @pl.when(j != 0)
+        def _cont():
+            c_ref[...] = jax.lax.fori_loop(0, cb, chunk_body, c_ref[...])
+
+        @pl.when(j == nC - 1)
+        def _finish():
+            tot = c_ref[...]
+            bshape = tot.shape[1:]
+            ones = jnp.stack(
+                [lax.broadcast(one_np[i], bshape) for i in range(NLIMBS)]
+            )
+            e_ref[...] = _hs_scan_mont(F, tot, ones)
+
+    return kernel
+
+
+def mont_prefix_scan_parts(F: DeviceField, x):
+    """Streamed product-scan parts: returns (partial, excl, Cp) with the
+    same position convention as ec_prefix_scan_parts — the inclusive
+    prefix product of position j is excl[..., j // Cp] * partial[..., j]."""
+    partial, excl = _mont_prefix_scan_parts_core(F, x)
+    return partial, excl, _scan_geometry(x.shape[-1])[2]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _mont_prefix_scan_parts_core(F: DeviceField, x):
+    shape = x.shape
+    n = shape[-1]
+    B = 1
+    for d in shape[1:-1]:
+        B *= d
+    cb, nC, Cp = _scan_geometry(n)
+    npad = Cp * LANE
+    B8 = -(-B // 8) * 8
+    bg = _legal_bg(B8, cb, budget=272)
+
+    one = jnp.asarray(int_to_limbs(F.r_mod_p)).reshape(NLIMBS, 1, 1)
+    a = x.reshape(NLIMBS, B, n)
+    a = jnp.concatenate(
+        [a, jnp.broadcast_to(one, (NLIMBS, B, npad - n))], axis=-1
+    ) if npad != n else a
+    if B8 != B:
+        a = jnp.pad(a, [(0, 0), (0, B8 - B), (0, 0)])
+    a = a.reshape(NLIMBS, B8, LANE, Cp).transpose(3, 0, 1, 2)
+
+    grid = (B8 // bg, nC)
+    spec = pl.BlockSpec(
+        (cb, NLIMBS, bg, LANE), lambda i, j: (j, 0, i, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+    espec = pl.BlockSpec(
+        (NLIMBS, bg, LANE), lambda i, j: (0, i, 0),
+        memory_space=pltpu.VMEM if pltpu else None,
+    )
+    scratch = (
+        [pltpu.VMEM((NLIMBS, bg, LANE), jnp.uint32)]
+        if pltpu
+        else [jax.ShapeDtypeStruct((NLIMBS, bg, LANE), jnp.uint32)]
+    )
+    out, ex = pl.pallas_call(
+        _mont_parts_kernel(F, cb, nC),
+        grid=grid,
+        in_specs=[spec],
+        out_specs=(spec, espec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Cp, NLIMBS, B8, LANE), jnp.uint32),
+            jax.ShapeDtypeStruct((NLIMBS, B8, LANE), jnp.uint32),
+        ),
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+        compiler_params=_ec_compiler_params(dims=("arbitrary", "arbitrary")),
+    )(a)
+    partial = out[:, :, :B].transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)
+    partial = partial.reshape((NLIMBS, *shape[1:-1], npad))
+    excl = ex[:, :B].reshape((NLIMBS, *shape[1:-1], LANE))
+    return partial, excl
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -927,13 +1020,18 @@ def mont_prefix_scan_fused(F: DeviceField, x):
     """Inclusive Montgomery prefix products along the LAST axis, the
     whole blocked scan in ONE kernel (limb.prefix_mul's two lax.scans
     cost ~0.2 ms of loop-step latency per iteration on the axon runtime
-    — ~2*sqrt(n) iterations per call)."""
+    — ~2*sqrt(n) iterations per call). Long scans (C > 64) stream via
+    mont_prefix_scan_parts + one elementwise combine kernel."""
     shape = x.shape
     n = shape[-1]
     B = 1
     for d in shape[1:-1]:
         B *= d
     C = -(-n // LANE)
+    if C > 64:
+        partial, excl, Cp = mont_prefix_scan_parts(F, x)
+        exb = jnp.repeat(excl, Cp, axis=-1)  # position j -> excl[j // Cp]
+        return mont_mul(F, partial, exb)[..., :n].reshape(shape)
     npad = C * LANE
 
     a = x.reshape(NLIMBS, B, n)
@@ -943,12 +1041,13 @@ def mont_prefix_scan_fused(F: DeviceField, x):
             (NLIMBS, B, npad - n),
         )
         a = jnp.concatenate([a, one], axis=-1)
-    a = a.reshape(NLIMBS, B, LANE, C).transpose(3, 0, 1, 2)
+    B8 = -(-B // 8) * 8
+    bg = _legal_bg(B8, C, budget=272)
+    if B8 != B:
+        a = jnp.pad(a, [(0, 0), (0, B8 - B), (0, 0)])
+    a = a.reshape(NLIMBS, B8, LANE, C).transpose(3, 0, 1, 2)
 
-    bg = max(1, min(B, 272 // C))
-    while B % bg:
-        bg -= 1
-    grid = (B // bg,)
+    grid = (B8 // bg,)
     spec = pl.BlockSpec(
         (C, NLIMBS, bg, LANE), lambda i: (0, 0, i, 0),
         memory_space=pltpu.VMEM if pltpu else None,
@@ -958,10 +1057,11 @@ def mont_prefix_scan_fused(F: DeviceField, x):
         grid=grid,
         in_specs=[spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((C, NLIMBS, B, LANE), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((C, NLIMBS, B8, LANE), jnp.uint32),
         interpret=_interpret(),
+        compiler_params=_ec_compiler_params(),
     )(a)
-    out = out.transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)[:, :, :n]
+    out = out[:, :, :B].transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)[:, :, :n]
     return out.reshape(shape)
 
 
@@ -984,10 +1084,11 @@ def linear_scan_fused(F: DeviceField, x, c_int: int):
     C = -(-n // LANE)
     npad = C * LANE
 
+    B8 = -(-B // 8) * 8
     a = x.reshape(NLIMBS, B, n)
-    if npad != n:
-        a = jnp.pad(a, [(0, 0), (0, 0), (0, npad - n)])
-    a = a.reshape(NLIMBS, B, LANE, C).transpose(3, 0, 1, 2)
+    if npad != n or B8 != B:
+        a = jnp.pad(a, [(0, 0), (0, B8 - B), (0, npad - n)])
+    a = a.reshape(NLIMBS, B8, LANE, C).transpose(3, 0, 1, 2)
 
     # static Montgomery-form constants: c, c^(C·2^k) for the HS levels,
     # and the SMEM table c^(chunk+1) for the combine phase
@@ -1003,10 +1104,8 @@ def linear_scan_fused(F: DeviceField, x, c_int: int):
         ]
     ).astype(np.uint32)  # (C*16,), limbs of c^(ci+1) at ci*16
 
-    bg = max(1, min(B, 272 // C))
-    while B % bg:
-        bg -= 1
-    grid = (B // bg,)
+    bg = _legal_bg(B8, C, budget=272)
+    grid = (B8 // bg,)
     spec = pl.BlockSpec(
         (C, NLIMBS, bg, LANE), lambda i: (0, 0, i, 0),
         memory_space=pltpu.VMEM if pltpu else None,
@@ -1061,29 +1160,59 @@ def linear_scan_fused(F: DeviceField, x, c_int: int):
         grid=grid,
         in_specs=[smem, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((C, NLIMBS, B, LANE), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((C, NLIMBS, B8, LANE), jnp.uint32),
         interpret=_interpret(),
+        compiler_params=_ec_compiler_params(),
     )(jnp.asarray(ctab), a)
-    out = out.transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)[:, :, :n]
+    out = out[:, :, :B].transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)[:, :, :n]
     return out.reshape(shape)
 
 
-def _ec_parts_kernel(F: DeviceField, C: int, mixed: bool = False):
-    """Phases 1-2 of the blocked scan only (no per-position combine).
+_SCAN_BG = int(os.environ.get("PST_SCAN_BG", "0"))  # 0 = auto
+
+
+def _legal_bg(B8: int, C: int, budget: int = 136) -> int:
+    """Pick a batch-group block size: Mosaic requires the second-to-last
+    block dim be a multiple of 8 (or the full dim), and C*bg (8,128)-vregs
+    per ref must fit VMEM. B8 must be a multiple of 8."""
+    if _SCAN_BG:
+        bg = min(B8, _SCAN_BG)
+    else:
+        bg = min(B8, max(8, (budget // max(C, 1)) // 8 * 8))
+    bg -= bg % 8
+    bg = max(bg, 8)
+    while B8 % bg:
+        bg -= 8
+    return bg
+
+
+def _ec_parts_kernel(F: DeviceField, cb: int, nC: int, mixed: bool = False):
+    """Phases 1-2 of the blocked scan only (no per-position combine),
+    streamed over the chunk axis: grid step (i, j) processes chunk block
+    j (cb chunks) of batch group i, carrying the running per-lane prefix
+    in VMEM scratch. Bounds VMEM at any scan length n (the whole-array
+    formulation needed C*bg blocks — u32[17,16,1024,128] overflowed the
+    16 MiB scoped-vmem at k=11, and k>=15 (C=256) could never fit).
 
     mixed=True: the INPUTS are affine-encoded (z ∈ {0, 1·R}) and the
     sequential chunk accumulation uses the cheaper mixed addition
-    (madd-2007-bl) — phases 2+ stay general Jacobian adds.
+    (madd-2007-bl) — phase 2 stays general Jacobian adds.
 
-    Outputs: partial (C, 16, bg, 128) inclusive chunk-scan values and
+    Outputs: partial (Cp, 16, bg, 128) inclusive chunk-scan values and
     excl (16, bg, 128) EXCLUSIVE lane offsets, so the inclusive prefix of
-    position j = l*C + c is excl[l] + partial[c, l]. Callers that only
+    position j = l*Cp + c is excl[l] + partial[c, l]. Callers that only
     need a few prefix values (Pippenger bucket boundaries: 2*2^c of n)
     gather from these and pay ONE elementwise EC add per gathered value
-    instead of the full phase-3 combine (C tile-adds over every
+    instead of the full phase-3 combine (Cp tile-adds over every
     position — ~45%% of the scan's work)."""
 
-    def kernel(x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref, ex_ref, ey_ref, ez_ref):
+    def kernel(
+        x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref, ex_ref, ey_ref, ez_ref,
+        cx_ref, cy_ref, cz_ref,
+    ):
+        j = pl.program_id(1)
+        step = _kv_ec_madd if mixed else _kv_ec_add
+
         def rd(c):
             return (x_ref[c], y_ref[c], z_ref[c])
 
@@ -1092,36 +1221,123 @@ def _ec_parts_kernel(F: DeviceField, C: int, mixed: bool = False):
             oy_ref[c] = t[1]
             oz_ref[c] = t[2]
 
-        wr(0, rd(0))
-        step = _kv_ec_madd if mixed else _kv_ec_add
+        def save(t):
+            cx_ref[...] = t[0]
+            cy_ref[...] = t[1]
+            cz_ref[...] = t[2]
 
         def chunk_body(c, carry):
             nxt = step(F, carry, rd(c))
             wr(c, nxt)
             return nxt
 
-        tot = jax.lax.fori_loop(1, C, chunk_body, rd(0)) if C > 1 else rd(0)
+        @pl.when(j == 0)
+        def _seed():
+            first = rd(0)
+            wr(0, first)
+            save(jax.lax.fori_loop(1, cb, chunk_body, first) if cb > 1 else first)
 
-        def shift_lanes(t, s):
-            def sh(a):
-                return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(s, 0)])[..., :LANE]
+        @pl.when(j != 0)
+        def _cont():
+            carry = (cx_ref[...], cy_ref[...], cz_ref[...])
+            save(jax.lax.fori_loop(0, cb, chunk_body, carry))
 
-            return (sh(t[0]), sh(t[1]), sh(t[2]))
-
-        # exclusive Hillis-Steele over the lane totals
-        tot = shift_lanes(tot, 1)
-        s = 1
-        while s < LANE:
-            tot = _kv_ec_add(F, tot, shift_lanes(tot, s))
-            s *= 2
-        ex_ref[...] = tot[0]
-        ey_ref[...] = tot[1]
-        ez_ref[...] = tot[2]
+        @pl.when(j == nC - 1)
+        def _finish():
+            # exclusive Hillis-Steele over the lane totals; shifted-in
+            # zeros are the identity (z=0)
+            tot = _hs_scan_ec(F, (cx_ref[...], cy_ref[...], cz_ref[...]))
+            ex_ref[...] = tot[0]
+            ey_ref[...] = tot[1]
+            ez_ref[...] = tot[2]
 
     return kernel
 
 
+def _shift_lanes_static(a, s: int):
+    return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(s, 0)])[..., :LANE]
+
+
+def _hs_scan_ec(F: DeviceField, tot):
+    """EXCLUSIVE Hillis-Steele EC prefix over the lane axis.
+
+    On TPU the 7 doubling levels run inside ONE lax.fori_loop whose lane
+    shift is a dynamic pltpu.roll — the EC add body is traced once, not
+    7 times (tracing _kv_ec_add costs ~6 s per instantiation; the HS
+    unroll dominated the per-process MSM trace, measured 190 s/shape).
+    Interpret mode (CPU tests) keeps the static unroll: pltpu.roll
+    lowers only on real TPU."""
+    tot = tuple(_shift_lanes_static(a, 1) for a in tot)
+    if _interpret():
+        s = 1
+        while s < LANE:
+            tot = _kv_ec_add(
+                F, tot, tuple(_shift_lanes_static(a, s) for a in tot)
+            )
+            s *= 2
+        return tot
+
+    def shifted(t, s):
+        idx = lax.broadcasted_iota(jnp.int32, t[0].shape, t[0].ndim - 1)
+        keep = idx >= s
+
+        def one(a):
+            return jnp.where(keep, pltpu.roll(a, s, a.ndim - 1), jnp.zeros_like(a))
+
+        return (one(t[0]), one(t[1]), one(t[2]))
+
+    def hs_body(k, t):
+        s = lax.shift_left(jnp.int32(1), k)
+        return _kv_ec_add(F, t, shifted(t, s))
+
+    return jax.lax.fori_loop(0, 7, hs_body, tot)
+
+
+def _hs_scan_mont(F: DeviceField, tot, ones):
+    """EXCLUSIVE Hillis-Steele Montgomery-product prefix over the lane
+    axis (shift-in neutral = 1·R). Same fori+roll trick as _hs_scan_ec."""
+
+    def shift_static(a, s):
+        return jnp.concatenate([ones[..., :s], a[..., : LANE - s]], axis=-1)
+
+    tot = shift_static(tot, 1)
+    if _interpret():
+        s = 1
+        while s < LANE:
+            tot = _kv_mul_redc(F, tot, shift_static(tot, s))
+            s *= 2
+        return tot
+
+    idx = lax.broadcasted_iota(jnp.int32, tot.shape, tot.ndim - 1)
+
+    def hs_body(k, t):
+        s = lax.shift_left(jnp.int32(1), k)
+        sh = jnp.where(idx >= s, pltpu.roll(t, s, t.ndim - 1), ones)
+        return _kv_mul_redc(F, t, sh)
+
+    return jax.lax.fori_loop(0, 7, hs_body, tot)
+
+
+def _scan_geometry(n: int) -> tuple[int, int, int]:
+    """(cb, nC, Cp) chunk-blocking for the streamed scans: C = ceil(n/128)
+    split into near-equal blocks of at most PST_SCAN_CB chunks (minimises
+    Cp-C lane-padding waste: C=17 with fixed cb=16 would give Cp=32 —
+    half the lanes idle)."""
+    C = -(-n // LANE)
+    cbmax = min(int(os.environ.get("PST_SCAN_CB", "16")), C)
+    nC = -(-C // cbmax)
+    cb = -(-C // nC)
+    return cb, nC, cb * nC
+
+
 def ec_prefix_scan_parts(F: DeviceField, x, y, z, mixed: bool = False):
+    """Public wrapper: jitted core + the static segment length Cp."""
+    partial, excl = _ec_prefix_scan_parts_core(F, x, y, z, mixed=mixed)
+    return partial, excl, _scan_geometry(x.shape[-1])[2]
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("mixed",))
+def _ec_prefix_scan_parts_core(F: DeviceField, x, y, z, mixed: bool = False):
     """Blocked-scan PARTS along the last axis (see _ec_parts_kernel).
 
     x/y/z: (16, *batch, n) Montgomery Jacobian limbs (z == 0 = identity).
@@ -1136,53 +1352,58 @@ def ec_prefix_scan_parts(F: DeviceField, x, y, z, mixed: bool = False):
     B = 1
     for d in shape[1:-1]:
         B *= d
-    C = -(-n // LANE)
-    npad = C * LANE
+    cb, nC, Cp = _scan_geometry(n)
+    npad = Cp * LANE
+    B8 = -(-B // 8) * 8
+    bg = _legal_bg(B8, cb)
 
     def prep(a):
         a = a.reshape(NLIMBS, B, n)
-        if npad != n:
-            a = jnp.pad(a, [(0, 0), (0, 0), (0, npad - n)])
-        return a.reshape(NLIMBS, B, LANE, C).transpose(3, 0, 1, 2)
+        a = jnp.pad(a, [(0, 0), (0, B8 - B), (0, npad - n)])
+        return a.reshape(NLIMBS, B8, LANE, Cp).transpose(3, 0, 1, 2)
 
     xs, ys, zs = prep(x), prep(y), prep(z)
-    bg = max(1, min(B, 136 // C))
-    while B % bg:
-        bg -= 1
-    grid = (B // bg,)
+    grid = (B8 // bg, nC)
     spec = pl.BlockSpec(
-        (C, NLIMBS, bg, LANE), lambda i: (0, 0, i, 0),
+        (cb, NLIMBS, bg, LANE), lambda i, j: (j, 0, i, 0),
         memory_space=pltpu.VMEM if pltpu else None,
     )
     espec = pl.BlockSpec(
-        (NLIMBS, bg, LANE), lambda i: (0, i, 0),
+        (NLIMBS, bg, LANE), lambda i, j: (0, i, 0),
         memory_space=pltpu.VMEM if pltpu else None,
     )
     out_shape = tuple(
-        jax.ShapeDtypeStruct((C, NLIMBS, B, LANE), jnp.uint32) for _ in range(3)
+        jax.ShapeDtypeStruct((Cp, NLIMBS, B8, LANE), jnp.uint32) for _ in range(3)
     ) + tuple(
-        jax.ShapeDtypeStruct((NLIMBS, B, LANE), jnp.uint32) for _ in range(3)
+        jax.ShapeDtypeStruct((NLIMBS, B8, LANE), jnp.uint32) for _ in range(3)
+    )
+    scratch = (
+        [pltpu.VMEM((NLIMBS, bg, LANE), jnp.uint32) for _ in range(3)]
+        if pltpu
+        else [jax.ShapeDtypeStruct((NLIMBS, bg, LANE), jnp.uint32)] * 3
     )
     ox, oy, oz, ex, ey, ez = pl.pallas_call(
-        _ec_parts_kernel(F, C, mixed),
+        _ec_parts_kernel(F, cb, nC, mixed),
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=(spec, spec, spec, espec, espec, espec),
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=_interpret(),
+        compiler_params=_ec_compiler_params(dims=("arbitrary", "arbitrary")),
     )(xs, ys, zs)
 
     def unprep(a):
-        # (C, 16, B, L) -> (16, *batch, L*C), position-indexed (j = l*C + c)
-        a = a.transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)
+        # (Cp, 16, B8, L) -> (16, *batch, L*Cp), position-indexed (j = l*Cp + c)
+        a = a[:, :, :B].transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)
         return a.reshape((NLIMBS, *shape[1:-1], npad))
 
     def unprep_e(a):
-        return a.reshape((NLIMBS, *shape[1:-1], LANE))
+        return a[:, :B].reshape((NLIMBS, *shape[1:-1], LANE))
 
     partial = (unprep(ox), unprep(oy), unprep(oz))
     excl = (unprep_e(ex), unprep_e(ey), unprep_e(ez))
-    return partial, excl, C
+    return partial, excl
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -1203,23 +1424,22 @@ def ec_prefix_scan_fused(F: DeviceField, x, y, z):
 
     def prep(a):
         a = a.reshape(NLIMBS, B, n)
-        if npad != n:
-            a = jnp.pad(a, [(0, 0), (0, 0), (0, npad - n)])
+        a = jnp.pad(a, [(0, 0), (0, B8 - B), (0, npad - n)])
         # lane-major segments: position j = l*C + c -> [c, :, :, l]
-        return a.reshape(NLIMBS, B, LANE, C).transpose(3, 0, 1, 2)
+        return a.reshape(NLIMBS, B8, LANE, C).transpose(3, 0, 1, 2)
 
+    # grid over the batch so a block stays within VMEM; bg must be a
+    # multiple of 8 (Mosaic block-shape rule), so pad B up to B8
+    B8 = -(-B // 8) * 8
+    bg = _legal_bg(B8, C)
     xs, ys, zs = prep(x), prep(y), prep(z)
-    # grid over the batch so a block stays within VMEM
-    bg = max(1, min(B, 136 // C))
-    while B % bg:
-        bg -= 1
-    grid = (B // bg,)
+    grid = (B8 // bg,)
     spec = pl.BlockSpec(
         (C, NLIMBS, bg, LANE), lambda i: (0, 0, i, 0),
         memory_space=pltpu.VMEM if pltpu else None,
     )
     out_shape = tuple(
-        jax.ShapeDtypeStruct((C, NLIMBS, B, LANE), jnp.uint32) for _ in range(3)
+        jax.ShapeDtypeStruct((C, NLIMBS, B8, LANE), jnp.uint32) for _ in range(3)
     )
     ox, oy, oz = pl.pallas_call(
         _ec_scan_kernel(F, C),
@@ -1228,10 +1448,11 @@ def ec_prefix_scan_fused(F: DeviceField, x, y, z):
         out_specs=(spec, spec, spec),
         out_shape=out_shape,
         interpret=_interpret(),
+        compiler_params=_ec_compiler_params(),
     )(xs, ys, zs)
 
     def unprep(a):
-        a = a.transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)[:, :, :n]
+        a = a[:, :, :B].transpose(1, 2, 3, 0).reshape(NLIMBS, B, npad)[:, :, :n]
         return a.reshape(shape)
 
     return unprep(ox), unprep(oy), unprep(oz)

@@ -25,6 +25,15 @@ def sweep():
         subprocess.run([sys.executable, __file__], env=env, timeout=1200)
 
 
+def sweep_scan():
+    """Sweep the streamed EC-scan block knobs (batch-group rows x chunk
+    block) on the witness-commit shape; prints ms per config."""
+    for bg, cb in ((8, 16), (16, 16), (32, 16), (8, 8), (8, 32), (16, 8)):
+        env = dict(os.environ, PST_SCAN_BG=str(bg), PST_SCAN_CB=str(cb), PST_ONLY="scan")
+        print(f"===== SCAN_BG={bg} SCAN_CB={cb}", flush=True)
+        subprocess.run([sys.executable, __file__], env=env, timeout=2400)
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache_tpu")
     import jax
@@ -54,11 +63,14 @@ def main():
         print(f"{name:42s} {dt*1e3:9.3f} ms", flush=True)
         return dt
 
+    only = os.environ.get("PST_ONLY")
+
     # mont_mul at 2^20
     n = 1 << 20
     a = F.pack_mont([rng.randrange(F.p) for _ in range(256)] * (n // 256), shape=(n,))
-    dt = timeit("mont_mul 2^20", lambda: pf.mont_mul(F, a, a))
-    print(f"    -> {n/dt/1e6:.0f} M muls/s", flush=True)
+    if only in (None, "mont"):
+        dt = timeit("mont_mul 2^20", lambda: pf.mont_mul(F, a, a))
+        print(f"    -> {n/dt/1e6:.0f} M muls/s", flush=True)
 
     # EC parts scan at the witness-commit shape (W=32, b=16, n=2049)
     W, b, nn = 32, 16, 2049
@@ -73,8 +85,11 @@ def main():
         (qx, qy, qz), (ex, ey, ez), C = pf.ec_prefix_scan_parts(F, xs, ys, one, mixed=True)
         return qz
 
-    dt = timeit(f"ec parts scan mixed (W={W},b={b},n={nn})", scan_fn, reps=5)
-    print(f"    -> {W*b*nn/dt/1e6:.1f} M EC madds/s", flush=True)
+    if only in (None, "scan"):
+        dt = timeit(f"ec parts scan mixed (W={W},b={b},n={nn})", scan_fn, reps=5)
+        print(f"    -> {W*b*nn/dt/1e6:.1f} M EC madds/s", flush=True)
+    if only is not None and only != "full":
+        return
 
     # full commit MSM (scaled bases) at k=11 witness shape
     from proof_systems_tpu.poly_commitment.srs import SRS
@@ -97,5 +112,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "sweep":
         sweep()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sweep_scan":
+        sweep_scan()
     else:
         main()
