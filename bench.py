@@ -47,7 +47,8 @@ def main() -> int:
     srs = SRS.create(Vesta, n)
     cs = ConstraintSystem.create(Fp, bench_circuit(Fp, num_gates), public=0, max_poly_size=n)
     index = ProverIndex(cs, Vesta, srs)
-    index.verifier_index()  # setup outside the timed region
+    if os.environ.get("BENCH_VERIFY", "0") == "1":
+        index.verifier_index()  # setup outside the timed region
     witness = bench_witness(num_gates)
     rng = SystemRng()
     print(f"[bench] setup: {time.time()-t0:.1f}s; warmup proof (2^{k}) ...", file=sys.stderr, flush=True)

@@ -25,6 +25,13 @@ Package layout:
 
 __version__ = "0.1.0"
 
+# Cache-stable lowering: strip file/line from MLIR locations so pallas
+# kernel payloads hash identically across unrelated source edits (see
+# utils/stable_lowering.py; PST_KEEP_LOCATIONS=1 restores locations).
+from .utils.stable_lowering import stabilize as _stabilize_lowering
+
+_stabilize_lowering()
+
 
 def prove(index, witness, rng, prev_challenges=(), runtime_tables=None):
     """Create a kimchi proof (see prover.create_proof)."""

@@ -204,70 +204,186 @@ class ProverIndex:
 
     # -- verifier index ----------------------------------------------------
 
+    def _vk_cache_path(self):
+        """Disk-cache key for the verifier-index COMMITMENTS: they are a
+        deterministic function of (curve, SRS, circuit, num_chunks), and
+        computing them costs a b≈32 MSM trace+dispatch (~3-16 min/process
+        on axon). Commitment points cache like the reference's lagrange
+        basis cache (srs.rs LAGRANGE_CACHE_DIR)."""
+        import hashlib
+
+        from .poly_commitment.srs import CACHE_DIR
+
+        cs = self.cs
+        h = hashlib.blake2b(digest_size=16)
+        h.update(
+            f"vk1|{self.curve.name}|{cs.domain.d1.n}|{cs.public}|"
+            f"{cs.zk_rows}|{self.num_chunks}|{len(self.srs.g)}".encode()
+        )
+        h.update(repr(self.srs.h).encode())
+        h.update(repr(self.srs.g[0]).encode())
+        h.update(repr(self.srs.g[-1]).encode())
+        for g in cs.gates:
+            h.update(
+                (
+                    f"{g.typ.value};"
+                    + ",".join(f"{w.row}:{w.col}" for w in g.wires)
+                    + ";" + ",".join(map(str, g.coeffs))
+                ).encode()
+            )
+        lcs = cs.lookup_cs
+        if lcs is not None:
+            h.update(repr(lcs.runtime_tables_spec).encode())
+            h.update(repr(lcs.table_ids).encode())
+            for col in lcs.lookup_table:
+                h.update(repr(col).encode())
+        return CACHE_DIR / f"vk_{h.hexdigest()}.npy"
+
+    def _load_vk_comms(self):
+        import os
+
+        import numpy as np
+
+        if os.environ.get("PST_NO_VK_CACHE") == "1":
+            return None
+        path = self._vk_cache_path()
+        if not path.exists():
+            return None
+        try:
+            payload = np.load(path, allow_pickle=True)[0]
+        except Exception:
+            return None
+        comms = [PolyComm(list(ch)) for ch in payload["comms"]]
+        opt_comms = {
+            GateType(gv): PolyComm(list(ch)) for gv, ch in payload["opt"].items()
+        }
+        lookup_vk = None
+        if payload["lookup"] is not None:
+            from .circuits.lookup import LookupPattern
+            from .verifier_index import LookupVerifierIndex
+
+            lk = payload["lookup"]
+            lcs = self.cs.lookup_cs
+            lookup_vk = LookupVerifierIndex(
+                joint_lookup_used=lcs.info.joint_lookup_used,
+                lookup_info=lcs.info,
+                lookup_table=[PolyComm(list(ch)) for ch in lk["table"]],
+                table_ids=PolyComm(list(lk["ids"])) if lk["ids"] is not None else None,
+                lookup_selectors={
+                    LookupPattern(pv): PolyComm(list(ch))
+                    for pv, ch in lk["sel"].items()
+                },
+                runtime_tables_selector=(
+                    PolyComm(list(lk["runtime"])) if lk["runtime"] is not None else None
+                ),
+            )
+        return comms, opt_comms, lookup_vk
+
+    def _save_vk_comms(self, comms, opt_comms, lookup_vk) -> None:
+        import os
+
+        import numpy as np
+
+        if os.environ.get("PST_NO_VK_CACHE") == "1":
+            return
+        payload = {
+            "comms": [c.chunks for c in comms],
+            "opt": {g.value: c.chunks for g, c in opt_comms.items()},
+            "lookup": None,
+        }
+        if lookup_vk is not None:
+            payload["lookup"] = {
+                "table": [c.chunks for c in lookup_vk.lookup_table],
+                "ids": lookup_vk.table_ids.chunks if lookup_vk.table_ids else None,
+                "sel": {
+                    pat.value: c.chunks
+                    for pat, c in lookup_vk.lookup_selectors.items()
+                },
+                "runtime": (
+                    lookup_vk.runtime_tables_selector.chunks
+                    if lookup_vk.runtime_tables_selector
+                    else None
+                ),
+            }
+        path = self._vk_cache_path()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".tmp{os.getpid()}")
+        np.save(tmp, np.array([payload], dtype=object), allow_pickle=True)
+        os.replace(f"{tmp}.npy" if not str(tmp).endswith(".npy") else tmp, path)
+
+    def _compute_vk_comms(self):
+        cd = self.column_data
+        all_coeffs = jnp.concatenate(
+            [
+                cd.sigma_coeff,
+                cd.coefficients_coeff,
+                jnp.stack([cd.selector_coeff[g] for g in ALWAYS_ON], axis=1),
+            ],
+            axis=1,
+        )  # (16, 28, n)
+        opt_present = [
+            g for g in optional_gates.OPTIONAL_GATE_ORDER
+            if g in self.cs.selectors_d1
+        ]
+        if opt_present:
+            opt_stack = jnp.stack(
+                [cd.selector_coeff[g] for g in opt_present], axis=1
+            )
+            all_coeffs = jnp.concatenate([all_coeffs, opt_stack], axis=1)
+        comms = self.srs.commit_coeffs_dev(all_coeffs, self.num_chunks)
+        opt_comms = {g: comms[28 + i] for i, g in enumerate(opt_present)}
+        comms = comms[:28]
+        # selector commitments are fixed-hiding (+1·H), verifier_index.rs:173
+        ones = [1] * self.num_chunks
+        for i in range(22, 28):
+            comms[i] = self.srs.mask(comms[i], ones)
+        lookup_vk = None
+        if self.cs.lookup_cs is not None:
+            ld = self.lookup_data
+            lcs = self.cs.lookup_cs
+            ncols = ld["table_coeff"].shape[1]
+            stack = [ld["table_coeff"][:, i] for i in range(ncols)]
+            if ld["ids_coeff"] is not None:
+                stack.append(ld["ids_coeff"])
+            sel_pats = list(lcs.info.patterns)
+            stack += [ld["sel_coeff"][pat] for pat in sel_pats]
+            if ld["runtime_sel_coeff"] is not None:
+                stack.append(ld["runtime_sel_coeff"])
+            lcomms = self.srs.commit_coeffs_dev(
+                jnp.stack(stack, axis=1), self.num_chunks
+            )
+            table_comms = [
+                self.srs.mask(lcomms[i], ones) for i in range(ncols)
+            ]
+            idx = ncols
+            ids_comm = None
+            if ld["ids_coeff"] is not None:
+                ids_comm = self.srs.mask(lcomms[idx], ones)
+                idx += 1
+            sel_comms = {pat: lcomms[idx + i] for i, pat in enumerate(sel_pats)}
+            runtime_sel_comm = None
+            if ld["runtime_sel_coeff"] is not None:
+                runtime_sel_comm = lcomms[idx + len(sel_pats)]
+            from .verifier_index import LookupVerifierIndex
+
+            lookup_vk = LookupVerifierIndex(
+                joint_lookup_used=lcs.info.joint_lookup_used,
+                lookup_info=lcs.info,
+                lookup_table=table_comms,
+                table_ids=ids_comm,
+                lookup_selectors=sel_comms,
+                runtime_tables_selector=runtime_sel_comm,
+            )
+        return comms, opt_comms, lookup_vk
+
     def verifier_index(self) -> VerifierIndex:
         if self._verifier_index is None:
-            cd = self.column_data
-            all_coeffs = jnp.concatenate(
-                [
-                    cd.sigma_coeff,
-                    cd.coefficients_coeff,
-                    jnp.stack([cd.selector_coeff[g] for g in ALWAYS_ON], axis=1),
-                ],
-                axis=1,
-            )  # (16, 28, n)
-            opt_present = [
-                g for g in optional_gates.OPTIONAL_GATE_ORDER
-                if g in self.cs.selectors_d1
-            ]
-            if opt_present:
-                opt_stack = jnp.stack(
-                    [cd.selector_coeff[g] for g in opt_present], axis=1
-                )
-                all_coeffs = jnp.concatenate([all_coeffs, opt_stack], axis=1)
-            comms = self.srs.commit_coeffs_dev(all_coeffs, self.num_chunks)
-            opt_comms = {g: comms[28 + i] for i, g in enumerate(opt_present)}
-            comms = comms[:28]
-            # selector commitments are fixed-hiding (+1·H), verifier_index.rs:173
-            ones = [1] * self.num_chunks
-            for i in range(22, 28):
-                comms[i] = self.srs.mask(comms[i], ones)
-            lookup_vk = None
-            if self.cs.lookup_cs is not None:
-                ld = self.lookup_data
-                lcs = self.cs.lookup_cs
-                ncols = ld["table_coeff"].shape[1]
-                stack = [ld["table_coeff"][:, i] for i in range(ncols)]
-                if ld["ids_coeff"] is not None:
-                    stack.append(ld["ids_coeff"])
-                sel_pats = list(lcs.info.patterns)
-                stack += [ld["sel_coeff"][pat] for pat in sel_pats]
-                if ld["runtime_sel_coeff"] is not None:
-                    stack.append(ld["runtime_sel_coeff"])
-                lcomms = self.srs.commit_coeffs_dev(
-                    jnp.stack(stack, axis=1), self.num_chunks
-                )
-                table_comms = [
-                    self.srs.mask(lcomms[i], ones) for i in range(ncols)
-                ]
-                idx = ncols
-                ids_comm = None
-                if ld["ids_coeff"] is not None:
-                    ids_comm = self.srs.mask(lcomms[idx], ones)
-                    idx += 1
-                sel_comms = {pat: lcomms[idx + i] for i, pat in enumerate(sel_pats)}
-                runtime_sel_comm = None
-                if ld["runtime_sel_coeff"] is not None:
-                    runtime_sel_comm = lcomms[idx + len(sel_pats)]
-                from .verifier_index import LookupVerifierIndex
-
-                lookup_vk = LookupVerifierIndex(
-                    joint_lookup_used=lcs.info.joint_lookup_used,
-                    lookup_info=lcs.info,
-                    lookup_table=table_comms,
-                    table_ids=ids_comm,
-                    lookup_selectors=sel_comms,
-                    runtime_tables_selector=runtime_sel_comm,
-                )
+            cached = self._load_vk_comms()
+            if cached is not None:
+                comms, opt_comms, lookup_vk = cached
+            else:
+                comms, opt_comms, lookup_vk = self._compute_vk_comms()
+                self._save_vk_comms(comms, opt_comms, lookup_vk)
             self._verifier_index = VerifierIndex(
                 curve=self.curve,
                 domain=self.cs.domain.d1,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 
@@ -29,7 +30,9 @@ class Tracer:
         self._last = now
         self.events.append((name, now))
         extra = f" {meta}" if meta else ""
-        print(f"[trace +{dt:7.2f}s] {name}{extra}", flush=True)
+        # stderr: stdout is reserved for machine-readable output (the
+        # driver parses bench.py's single JSON line from stdout)
+        print(f"[trace +{dt:7.2f}s] {name}{extra}", file=sys.stderr, flush=True)
 
     def dump_json(self) -> str:
         return "\n".join(
