@@ -193,6 +193,32 @@ def _msm_affine_scaled(curve: DeviceCurve, scalars: jax.Array, spoints: JPoint, 
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_fn(curve: DeviceCurve, c: int, use_scaled: bool, mesh):
+    """Batch-sharded full-MSM callable over a ('data',) mesh: the b axis
+    of the scalar batch splits across devices, the (pre-scaled) bases
+    replicate, and each device runs the complete Pippenger graph on its
+    rows — zero communication (the reference's per-commitment rayon
+    split, ipa.rs:527-554, across chips). Cached per (curve, c, mesh)."""
+    import jax as _jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    body = (_msm_affine_scaled if use_scaled else _msm_affine).__wrapped__
+
+    def local(scal, bases):
+        return body(curve, scal, bases, c)
+
+    sm = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, "data", None), P()),
+        out_specs=P(None, "data"),
+        check_rep=False,
+    )
+    return _jax.jit(sm)
+
+
 def _decode_packed_affine(curve: DeviceCurve, packed) -> list:
     import numpy as np
 
@@ -370,8 +396,11 @@ def msm(
         c = default_window_bits(n)
     windows = -(-255 // c)
     # Normalize the batch dimension to power-of-two buckets so a handful
-    # of compiled shapes serve every caller (XLA compile ~2min/shape).
-    b_pad = 1
+    # of compiled shapes serve every caller. PST_MSM_MIN_B can force the
+    # witness/quotient/z commits onto ONE shape (fewer per-process traces)
+    # at the cost of padded-row device work — measured at k=11 the padding
+    # cost (+0.7 s steady) outweighs the warmup saving, so default 1.
+    b_pad = max(1, int(os.environ.get("PST_MSM_MIN_B", "1")))
     while b_pad < b:
         b_pad *= 2
     if b_pad != b:
@@ -389,11 +418,18 @@ def msm(
     split = b_pad
     while split > 1 and windows * split * n > max_elems:
         split //= 2
+    from ..parallel.auto import data_mesh
+
+    mesh = data_mesh()
     out = []
     for lo in range(0, b_pad, split):
         part = scalars_std[:, lo : lo + split]
         if scaled is not None:
             assert scaled.x.shape[1] == windows, "scaled bases don't match c"
+        if mesh is not None and split % mesh.devices.size == 0:
+            fn = _sharded_msm_fn(curve, c, scaled is not None, mesh)
+            packed = fn(part, scaled if scaled is not None else points)
+        elif scaled is not None:
             packed = _msm_affine_scaled(curve, part, scaled, c)
         else:
             packed = _msm_affine(curve, part, points, c)

@@ -74,3 +74,33 @@ def test_sharded_msm_parity():
     Heavy: compiles the full EC window-sum graph on CPU."""
     mesh = _mesh()
     sharded_msm_check(mesh, 8, n=32, b=2)
+
+
+@pytest.mark.heavy
+def test_batch_sharded_msm_parity():
+    """Batch-sharded full MSM (the prover's commit path when >1 device,
+    ops/msm._sharded_msm_fn) == host golden MSM.
+
+    Heavy: compiles the full Pippenger+affine graph on CPU."""
+    from proof_systems_tpu.curves import Vesta
+    from proof_systems_tpu.ops import msm as msm_mod
+    from proof_systems_tpu.ops.curve_ops import device_curve
+
+    mesh = _mesh()
+    rng = random.Random(11)
+    curve = device_curve(Vesta)
+    n, b, c = 16, 8, 6
+    pts = [
+        Vesta.scalar_mul(rng.randrange(1, Vesta.scalar.p), Vesta.generator)
+        for _ in range(n)
+    ]
+    pts[3] = None
+    apts = curve.pack_affine(pts)
+    scal_rows = [[rng.randrange(Vesta.scalar.p) for _ in range(n)] for _ in range(b)]
+    scal = jnp.asarray(
+        limb.ints_to_limbs([s for row in scal_rows for s in row], shape=(b, n))
+    )
+    fn = msm_mod._sharded_msm_fn(curve, c, False, mesh)
+    got = msm_mod._decode_packed_affine(curve, fn(scal, apts))
+    want = [Vesta.msm(row, pts) for row in scal_rows]
+    assert got == want
