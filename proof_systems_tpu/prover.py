@@ -73,45 +73,66 @@ def _quotient_fn(index: ProverIndex):
     mds_params = _pk if f.name == "Fp" else _qk
     perm_exps = index.alphas.get_exponents("permutation", 3)
 
-    def to_d8(coeffs):
+    # Every index-owned device array is passed as a TRACED ARGUMENT (the
+    # K pytree) rather than closed over: jit embeds captured arrays as
+    # HLO constants, and at k=15 the d8 columns + twiddle tables total
+    # ~700 MB — the axon compile service rejects the request (HTTP 413).
+    K0 = {
+        "coefficients8": cd.coefficients8,
+        "sel8": {int(g): cd.selector8[g] for g in [*ALWAYS_ON, *opt_present]},
+        "x_d8": cd.x_d8,
+        "sigma8": cd.sigma8,
+        "zkpl8": cd.zkpl8,
+        "vzkp8": cd.vanishes_zk_prev8,
+        "fwd8": d8.fwd_twiddles,
+        "inv8": d8.inv_twiddles,
+    }
+    if lcs is not None:
+        ld0 = index.lookup_data
+        K0.update(
+            lt_coeff=ld0["table_coeff"],
+            lt8=ld0["table8"],
+            ids_coeff=ld0["ids_coeff"],
+            ids8=ld0["ids8"],
+            lsel8={pat.value: ld0["sel8"][pat] for pat in lcs.info.patterns},
+            rsel8=ld0["runtime_sel8"],
+        )
+
+    def to_d8(coeffs, fwd_tw):
         padded = jnp.concatenate(
             [coeffs, jnp.zeros((NLIMBS, *coeffs.shape[1:-1], 7 * n), dtype=coeffs.dtype)],
             axis=-1,
         )
-        return d8.ntt(padded)
+        return d8.ntt_t(padded, fwd_tw)
 
-    def qfn(w_coeffs, z_coeffs, public_low, chal, lookup_in):
-        w8 = to_d8(w_coeffs)
-        z8 = to_d8(z_coeffs[:, None, :])[:, 0]
+    def qfn(w_coeffs, z_coeffs, public_low, chal, lookup_in, K):
+        w8 = to_d8(w_coeffs, K["fwd8"])
+        z8 = to_d8(z_coeffs[:, None, :], K["fwd8"])[:, 0]
         columns = {expr_mod.col_witness(i): w8[:, i] for i in range(COLUMNS)}
         columns.update(
-            {expr_mod.col_coeff(i): cd.coefficients8[:, i] for i in range(COLUMNS)}
+            {expr_mod.col_coeff(i): K["coefficients8"][:, i] for i in range(COLUMNS)}
         )
         columns[expr_mod.COL_Z] = z8
-        for g in ALWAYS_ON:
-            columns[expr_mod.col_index(g)] = cd.selector8[g]
-        for g in opt_present:
-            columns[expr_mod.col_index(g)] = cd.selector8[g]
+        for g in [*ALWAYS_ON, *opt_present]:
+            columns[expr_mod.col_index(g)] = K["sel8"][int(g)]
 
         jt_coeff = None
         if lcs is not None:
-            ld = index.lookup_data
-            jt_coeff = None
             jt8 = None
             jpow = F.one_mont((1,))
-            for i in range(ld["table_coeff"].shape[1]):
-                term_c = limb.mont_mul(F, ld["table_coeff"][:, i], jpow)
-                term_8 = limb.mont_mul(F, ld["table8"][:, i], jpow)
+            for i in range(K["lt_coeff"].shape[1]):
+                term_c = limb.mont_mul(F, K["lt_coeff"][:, i], jpow)
+                term_8 = limb.mont_mul(F, K["lt8"][:, i], jpow)
                 jt_coeff = term_c if jt_coeff is None else limb.add(F, jt_coeff, term_c)
                 jt8 = term_8 if jt8 is None else limb.add(F, jt8, term_8)
                 jpow = limb.mont_mul(F, jpow, chal["joint_combiner"])
-            if ld["ids_coeff"] is not None:
+            if K["ids_coeff"] is not None:
                 jt_coeff = limb.add(
-                    F, jt_coeff, limb.mont_mul(F, ld["ids_coeff"], chal["tid_comb"])
+                    F, jt_coeff, limb.mont_mul(F, K["ids_coeff"], chal["tid_comb"])
                 )
-                jt8 = limb.add(F, jt8, limb.mont_mul(F, ld["ids8"], chal["tid_comb"]))
+                jt8 = limb.add(F, jt8, limb.mont_mul(F, K["ids8"], chal["tid_comb"]))
             if lookup_in.get("runtime_coeffs") is not None:
-                rt8 = to_d8(lookup_in["runtime_coeffs"][:, None, :])[:, 0]
+                rt8 = to_d8(lookup_in["runtime_coeffs"][:, None, :], K["fwd8"])[:, 0]
                 jt_coeff = limb.add(
                     F,
                     jt_coeff,
@@ -119,15 +140,15 @@ def _quotient_fn(index: ProverIndex):
                 )
                 jt8 = limb.add(F, jt8, limb.mont_mul(F, rt8, chal["joint_combiner"]))
                 columns[lookup_mod.COL_LOOKUP_RUNTIME_TABLE] = rt8
-                columns[lookup_mod.COL_LOOKUP_RUNTIME_SELECTOR] = ld["runtime_sel8"]
-            sorted8 = to_d8(lookup_in["sorted_coeffs"])
-            aggreg8 = to_d8(lookup_in["aggreg_coeffs"][:, None, :])[:, 0]
+                columns[lookup_mod.COL_LOOKUP_RUNTIME_SELECTOR] = K["rsel8"]
+            sorted8 = to_d8(lookup_in["sorted_coeffs"], K["fwd8"])
+            aggreg8 = to_d8(lookup_in["aggreg_coeffs"][:, None, :], K["fwd8"])[:, 0]
             for i in range(sorted8.shape[1]):
                 columns[lookup_mod.col_lookup_sorted(i)] = sorted8[:, i]
             columns[lookup_mod.COL_LOOKUP_AGGREG] = aggreg8
             columns[lookup_mod.COL_LOOKUP_TABLE] = jt8
             for pat in lcs.info.patterns:
-                columns[lookup_mod.col_lookup_kind(pat)] = ld["sel8"][pat]
+                columns[lookup_mod.col_lookup_kind(pat)] = K["lsel8"][pat.value]
 
         ctx = expr_mod.DeviceEvalContext(
             F=F,
@@ -138,13 +159,13 @@ def _quotient_fn(index: ProverIndex):
             domain_n=n,
             zk_rows=zk,
             omega=d1.group_gen,
-            vanishes_on_zk_and_previous=cd.vanishes_zk_prev8,
+            vanishes_on_zk_and_previous=K["vzkp8"],
         )
         if lcs is not None:
 
             def unnorm_lagrange(row_idx: int):
-                num = limb.sub(F, limb.mont_pow(F, cd.x_d8, n), F.one_mont((1,)))
-                den = limb.sub(F, cd.x_d8, F.const_mont(cs.sid[row_idx], (1,)))
+                num = limb.sub(F, limb.mont_pow(F, K["x_d8"], n), F.one_mont((1,)))
+                den = limb.sub(F, K["x_d8"], F.const_mont(cs.sid[row_idx], (1,)))
                 return limb.mont_mul(F, num, limb.batch_inverse(F, den))
 
             ctx.unnormalized_lagrange = {
@@ -164,7 +185,7 @@ def _quotient_fn(index: ProverIndex):
             term = limb.add(
                 F,
                 limb.add(F, w8[:, i], chal["gamma"]),
-                limb.mont_mul(F, cd.x_d8, bshift),
+                limb.mont_mul(F, K["x_d8"], bshift),
             )
             shifts_side = limb.mont_mul(F, shifts_side, term)
         sigmas_side = jnp.roll(z8, -8, axis=-1)
@@ -172,17 +193,17 @@ def _quotient_fn(index: ProverIndex):
             term = limb.add(
                 F,
                 limb.add(F, w8[:, i], chal["gamma"]),
-                limb.mont_mul(F, cd.sigma8[:, i], chal["beta"]),
+                limb.mont_mul(F, K["sigma8"][:, i], chal["beta"]),
             )
             sigmas_side = limb.mont_mul(F, sigmas_side, term)
         perm8 = limb.mont_mul(
             F,
             limb.mont_mul(F, limb.sub(F, shifts_side, sigmas_side), a0),
-            cd.zkpl8,
+            K["zkpl8"],
         )
 
         t8 = limb.add(F, gate_evals8, perm8)
-        f_coeffs = d8.intt(t8)
+        f_coeffs = d8.intt_t(t8, K["inv8"])
         f_coeffs = f_coeffs.at[:, :n].set(limb.add(F, f_coeffs[:, :n], public_low))
         quotient, rem = poly.divide_by_vanishing(F, f_coeffs, n)
 
@@ -202,6 +223,7 @@ def _quotient_fn(index: ProverIndex):
     # Fusing into one jit pays on TPU (dispatch latency);  on CPU the
     # ~100k-HLO graph compiles for tens of minutes, so run it op-by-op
     # there (each limb op is individually jitted + persistently cached).
+    index._qfn_consts = K0
     if jax.default_backend() in ("tpu", "axon"):
         index._qfn = jax.jit(qfn)
     else:
@@ -463,7 +485,7 @@ def create_proof(
         }
     checkpoint("compute_quotient_poly")
     quotient, _rem, jt_coeff, r1_dev, r2_dev = _quotient_fn(index)(
-        w_coeffs, z_coeffs, public_coeffs[:, 0], chal, lookup_in
+        w_coeffs, z_coeffs, public_coeffs[:, 0], chal, lookup_in, index._qfn_consts
     )
     if lcs is not None:
         lookup_ctx["jt_coeff"] = jt_coeff
