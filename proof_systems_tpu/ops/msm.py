@@ -201,7 +201,6 @@ def _sharded_msm_fn(curve: DeviceCurve, c: int, use_scaled: bool, mesh):
     rows — zero communication (the reference's per-commitment rayon
     split, ipa.rs:527-554, across chips). Cached per (curve, c, mesh)."""
     import jax as _jax
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     body = (_msm_affine_scaled if use_scaled else _msm_affine).__wrapped__
@@ -209,12 +208,12 @@ def _sharded_msm_fn(curve: DeviceCurve, c: int, use_scaled: bool, mesh):
     def local(scal, bases):
         return body(curve, scal, bases, c)
 
-    sm = shard_map(
+    sm = _jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(None, "data", None), P()),
         out_specs=P(None, "data"),
-        check_rep=False,
+        check_vma=False,
     )
     return _jax.jit(sm)
 

@@ -80,8 +80,6 @@ def sharded_msm(mesh: Mesh, curve_params, scalars: jax.Array, points, c: int = 8
     how the reference splits `msm_bigint` across rayon threads
     (poly-commitment/src/ipa.rs:527) but across chips.
     """
-    from jax.experimental.shard_map import shard_map
-
     from ..ops import msm as msm_mod
     from ..ops.curve_ops import JPoint, device_curve
 
@@ -98,17 +96,20 @@ def sharded_msm(mesh: Mesh, curve_params, scalars: jax.Array, points, c: int = 8
     spec_scal = P(None, None, "data")
     spec_px = P(None, "data")
     spec_inf = P("data")
-    shmapped = shard_map(
+    # all_gather replicates the per-device window partials, so the output
+    # is genuinely replicated and out_specs=P() returns the (S, ...) array
+    # once — no post-hoc slicing of a concatenated axis. check_vma=False
+    # because the EC scan carries start as replicated constants (pcast
+    # plumbing through the fused kernels isn't worth it; replication here
+    # is guaranteed by the all_gather).
+    shmapped = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(spec_scal, spec_px, spec_px, spec_inf),
-        out_specs=P("data"),
-        check_rep=False,
+        out_specs=P(),
+        check_vma=False,
     )
     gathered = shmapped(scalars, points.x, points.y, points.inf)
-    # (S*S, 16, 3, W, b) after concatenating the sharded out axis: each
-    # device holds the full gather; take the first S rows.
-    gathered = gathered[:ndev]
 
     def fold(i, acc):
         part = JPoint(

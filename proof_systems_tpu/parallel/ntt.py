@@ -102,10 +102,8 @@ class DistNttPlan:
             d = plan2.intt(d) if inverse else plan2.ntt(d)
             return d  # (16, n1loc, n2) = D[k1_local, k2]
 
-        from jax.experimental.shard_map import shard_map
-
         return jax.jit(
-            shard_map(
+            jax.shard_map(
                 local,
                 mesh=self.mesh,
                 in_specs=(P(None, None, axis), P(None, None, axis)),

@@ -32,7 +32,23 @@ def stabilize() -> None:
     try:
         from jax._src.interpreters import mlir as _mlir
         from jax._src.lib.mlir import ir
-    except Exception:  # pragma: no cover - jax internals moved
+
+        if not callable(getattr(_mlir, "source_info_to_location", None)):
+            raise AttributeError("mlir.source_info_to_location missing")
+    except Exception as e:  # pragma: no cover - jax internals moved
+        # Fail LOUD: without this patch every source edit that shifts a
+        # line re-keys all pallas compile-cache entries (30-60 min of
+        # recompiles). Don't crash the library, but make the drift visible.
+        import sys
+
+        print(
+            f"proof_systems_tpu: stable_lowering could not patch jax "
+            f"({type(e).__name__}: {e}); pallas compile-cache keys will "
+            f"depend on source line numbers. Fix utils/stable_lowering.py "
+            f"for this jax version.",
+            file=sys.stderr,
+            flush=True,
+        )
         return
 
     def _loc_no_lines(ctx, primitive, name_stack, traceback):
