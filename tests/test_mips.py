@@ -205,6 +205,315 @@ def test_mips_constraints_and_lookups_satisfied():
     _host_check(allcols, cons, n, omega, beta, joint)
 
 
+def cannon_ext_program():
+    """Exercises the Cannon full-ISA extension: zero-relative branches,
+    JALR, DIV/DIVU (signed corner cases), MTHI/MTLO, MOVZ/MOVN, SYNC,
+    sub-word loads/stores, LWL/LWR/SWL/SWR, LL/SC, and the non-memory
+    syscalls (brk, clone, fcntl, unknown, mmap, exit_group)."""
+    return [
+        Instr("ADDIU", rt=1, rs=0, imm=-7),        # 0: r1 = -7
+        Instr("ADDIU", rt=2, rs=0, imm=3),         # 1: r2 = 3
+        Instr("DIV", rs=1, rt=2),                  # 2: lo=-2, hi=-1
+        Instr("MFLO", rd=3),                       # 3: r3 = -2
+        Instr("MFHI", rd=4),                       # 4: r4 = -1
+        Instr("DIV", rs=1, rt=0),                  # 5: divide by zero: hi/lo kept
+        Instr("MFLO", rd=6),                       # 6: r6 = -2 (unchanged)
+        Instr("DIVU", rs=2, rt=1),                 # 7: 3 / (2^32-7) = 0 r 3
+        Instr("MFHI", rd=5),                       # 8: r5 = 3
+        Instr("MTHI", rs=2),                       # 9: hi = 3
+        Instr("MTLO", rs=1),                       # 10: lo = -7
+        Instr("MFHI", rd=7),                       # 11: r7 = 3
+        Instr("BLTZ", rs=1, imm=2),                # 12: taken -> 15
+        Instr("ADDIU", rt=8, rs=0, imm=11),        # 13: delay slot r8 = 11
+        Instr("ADDIU", rt=8, rs=0, imm=99),        # 14: skipped
+        Instr("BGEZ", rs=1, imm=5),                # 15: not taken
+        Instr("SYNC"),                             # 16: delay slot no-op
+        Instr("BLEZ", rs=0, imm=2),                # 17: taken (0 <= 0) -> 20
+        Instr("MOVZ", rd=9, rs=2, rt=0),           # 18: delay: r9 = 3 (rt=0)
+        Instr("MOVZ", rd=9, rs=1, rt=2),           # 19: skipped
+        Instr("BGTZ", rs=2, imm=2),                # 20: taken -> 23
+        Instr("MOVN", rd=10, rs=1, rt=2),          # 21: delay: r10 = -7
+        Instr("MOVN", rd=10, rs=2, rt=0),          # 22: skipped (rt == 0)
+        Instr("BLTZAL", rs=1, imm=2),              # 23: taken -> 26, r31 = 100
+        Instr("ADDIU", rt=11, rs=0, imm=0x130),    # 24: delay: r11 = 0x130
+        Instr("ADDIU", rt=12, rs=0, imm=77),       # 25: skipped
+        Instr("JALR", rd=13, rs=11),               # 26: jump 0x130/4=76, r13=112
+        Instr("SYNC"),                             # 27: delay slot no-op
+        # words 28..75 are never executed; jalr target is word 76
+    ] + _cannon_ext_tail()
+
+
+def _cannon_ext_tail():
+    # Place instructions so that word 76 (pc 0x130) continues the test.
+    # Words 28..75 are never executed but must exist (ROM addresses).
+    pad = [Instr("SYNC") for _ in range(76 - 28)]
+    tail = [
+        # save registers that the syscall block will clobber
+        Instr("SW", rt=4, rs=0, imm=0x820),         # div hi
+        Instr("SW", rt=5, rs=0, imm=0x824),         # divu remainder
+        Instr("SW", rt=6, rs=0, imm=0x828),         # div-by-zero lo
+        Instr("SW", rt=7, rs=0, imm=0x82C),         # mfhi after mthi
+        # BGEZAL: taken (0 >= 0), links r31, delay slot runs, +2 skipped
+        Instr("BGEZAL", rs=0, imm=2),
+        Instr("SYNC"),
+        Instr("ADDIU", rt=12, rs=0, imm=55),       # skipped
+        # memory block at 0x800: store a pattern, then sub-word ops
+        Instr("LUI", rt=14, imm=0x1122),           # 76: r14 = 0x11220000
+        Instr("ORI", rt=14, rs=14, imm=0x3344),    # 77: r14 = 0x11223344
+        Instr("SW", rt=14, rs=0, imm=0x800),        # 78: mem[0x800] = 0x11223344
+        Instr("LB", rt=15, rs=0, imm=0x800),        # 79: r15 = 0x11
+        Instr("LB", rt=16, rs=0, imm=0x803),        # 80: r16 = 0x804
+        Instr("LBU", rt=17, rs=0, imm=0x801),       # 81: r17 = 0x22
+        Instr("LH", rt=18, rs=0, imm=0x800),        # 82: r18 = 0x1122
+        Instr("LHU", rt=19, rs=0, imm=0x802),       # 83: r19 = 0x3344
+        Instr("SB", rt=1, rs=0, imm=0x801),         # 84: mem = 0x11F93344 (-7&0xFF=0xF9)
+        Instr("SH", rt=1, rs=0, imm=0x802),         # 85: mem = 0x11F9FFF9
+        Instr("LW", rt=20, rs=0, imm=0x800),        # 86: r20 = 0x11F9FFF9
+        Instr("LWL", rt=21, rs=0, imm=0x802),       # 87: merge left from off 2
+        Instr("LWR", rt=22, rs=0, imm=0x801),       # 88: merge right to off 1
+        Instr("SWL", rt=14, rs=0, imm=0x806),       # 89: left store at off 2
+        Instr("SWR", rt=14, rs=0, imm=0x809),       # 90: right store at off 1
+        Instr("LW", rt=23, rs=0, imm=0x804),        # 91
+        Instr("LW", rt=24, rs=0, imm=0x808),        # 92
+        Instr("LL", rt=25, rs=0, imm=0x800),        # 93: r25 = word
+        Instr("SC", rt=25, rs=0, imm=0x808),        # 94: store + r25 = 1
+        # negative signed loads
+        Instr("LH", rt=26, rs=0, imm=0x802),        # 95: r26 = sext(0xFFF9)
+        # syscalls
+        Instr("ADDIU", rt=2, rs=0, imm=4045),      # 96: SYS_BRK
+        Instr("SYSCALL"),                          # 97: v0 = 0x40000000
+        Instr("ADDU", rd=27, rs=2, rt=0),          # 98: r27 = BRK_BASE
+        Instr("ADDIU", rt=2, rs=0, imm=4120),      # 99: SYS_CLONE
+        Instr("SYSCALL"),                          # 100: v0 = 1
+        Instr("ADDIU", rt=2, rs=0, imm=4055),      # SYS_FCNTL
+        Instr("ADDIU", rt=4, rs=0, imm=5),         # a0 = 5 (pre read fd)
+        Instr("ADDIU", rt=5, rs=0, imm=3),         # a1 = 3 (F_GETFL)
+        Instr("SYSCALL"),                          # v0 = 0 (fcr)
+        Instr("ADDIU", rt=2, rs=0, imm=4055),
+        Instr("ADDIU", rt=4, rs=0, imm=6),         # a0 = 6 (write fd)
+        Instr("SYSCALL"),                          # v0 = 1 (fcw)
+        Instr("ADDIU", rt=2, rs=0, imm=4055),
+        Instr("ADDIU", rt=4, rs=0, imm=9),         # a0 = 9 (bad fd)
+        Instr("SYSCALL"),                          # v0 = -1, v1 = 0x9
+        Instr("ADDU", rd=28, rs=7, rt=0),          # r28 = EBADF
+        Instr("ADDIU", rt=2, rs=0, imm=4055),
+        Instr("ADDIU", rt=5, rs=0, imm=1),         # a1 = 1 (!= F_GETFL)
+        Instr("SYSCALL"),                          # v0 = -1, v1 = 0x16 (fceinval)
+        Instr("ADDIU", rt=2, rs=0, imm=4999),      # unknown syscall
+        Instr("SYSCALL"),                          # v0 = v1 = 0 (other)
+        Instr("ADDIU", rt=2, rs=0, imm=4090),      # SYS_MMAP
+        Instr("ADDIU", rt=4, rs=0, imm=0),         # a0 = 0
+        Instr("ADDIU", rt=5, rs=0, imm=6000),      # a1 = size 6000
+        Instr("SYSCALL"),                          # v0 = heap0, heap += 8192
+        Instr("ADDU", rd=29, rs=2, rt=0),          # r29 = old heap
+        Instr("ADDIU", rt=2, rs=0, imm=4090),      # SYS_MMAP again
+        Instr("ADDIU", rt=4, rs=0, imm=0x60),      # a0 = hint addr != 0
+        Instr("SYSCALL"),                          # mmap1: v0 = a0
+        Instr("ADDU", rd=30, rs=2, rt=0),          # r30 = 0x60
+        Instr("ADDIU", rt=2, rs=0, imm=4246),      # SYS_EXIT_GROUP
+        Instr("ADDIU", rt=4, rs=0, imm=7),         # exit code 7
+        Instr("SYSCALL"),                          # halt
+        Instr("ADDIU", rt=8, rs=0, imm=1),         # never executed
+    ]
+    return pad + tail
+
+
+def test_mips_cannon_ext_semantics():
+    program = cannon_ext_program()
+    rows, state = execute(program, 400, heap0=0x20000000)
+    r = state["regs"]
+    mem = state["memory"]
+    assert r[3] == (1 << 32) - 2                              # -7 / 3 lo
+    assert mem[0x820] == (1 << 32) - 1                         # -7 / 3 hi
+    assert mem[0x824] == 3                                     # DIVU remainder
+    assert mem[0x828] == (1 << 32) - 2                         # div-by-0 keeps lo
+    assert mem[0x82C] == 3 and r[8] == 11
+    assert r[9] == 3 and r[10] == (1 << 32) - 7
+    bgezal_w = next(w for w, ins in enumerate(program) if ins.op == "BGEZAL")
+    assert r[31] == 4 * bgezal_w + 8 and r[12] == 0
+    assert r[13] == 112
+    assert r[15] == 0x11 and r[16] == 0x44 and r[17] == 0x22
+    assert r[18] == 0x1122 and r[19] == 0x3344
+    assert r[20] == 0x11F9FFF9
+    assert r[26] == (0xFFF9 - (1 << 16)) % (1 << 32)
+    assert r[27] == 0x40000000 and r[28] == 0x9
+    assert r[29] == 0x20000000 and r[30] == 0x60
+    assert state["heap"] == 0x20000000 + 8192
+    assert state["exited"] and state["exit_code"] == 7
+    # LWL from offset 2: r21 = mem[2:4] || rt[2:4] of old r21 (0)
+    assert r[21] == 0xFFF90000 and r[22] == 0x000011F9
+    assert state["memory"][0x804] == 0x00001122 and r[23] == 0x00001122
+    assert state["memory"][0x808] == 0x11F9FFF9  # SC overwrote SWR's 0x804...
+    assert r[25] == 1
+
+
+def test_mips_cannon_ext_matches_cannon_vm():
+    """Bit-exact cross-validation of mips.execute against the Cannon
+    witness runner (cannon.CannonVM) over the full-ISA program."""
+    from proof_systems_tpu.o1vm.cannon import CannonVM, PagedMemory, State
+
+    program = cannon_ext_program()
+    rows, state = execute(program, 400, heap0=0x20000000)
+
+    st = State(memory={}, heap=0x20000000)
+    vm = CannonVM(st)
+    for w, ins in enumerate(program):
+        vm.mem.write_word(4 * w, _encode(ins))
+    vm.run(max_steps=400)
+    assert st.exited and st.exit == 7
+    assert list(st.registers) == state["regs"]
+    assert st.hi == state["hi"] and st.lo == state["lo"]
+    assert st.heap == state["heap"]
+    for addr, val in state["memory"].items():
+        assert vm.mem.read_word(addr) == val, hex(addr)
+
+
+def _encode(ins: Instr) -> int:
+    """Assemble an Instr back to a 32-bit word (inverse of decode)."""
+    R = {"SLL": 0x00, "SRL": 0x02, "SRA": 0x03, "SLLV": 0x04, "SRLV": 0x06,
+         "SRAV": 0x07, "JR": 0x08, "JALR": 0x09, "MOVZ": 0x0A, "MOVN": 0x0B,
+         "SYSCALL": 0x0C, "SYNC": 0x0F, "MFHI": 0x10, "MTHI": 0x11,
+         "MFLO": 0x12, "MTLO": 0x13, "MULT": 0x18, "MULTU": 0x19,
+         "DIV": 0x1A, "DIVU": 0x1B, "ADD": 0x20, "ADDU": 0x21, "SUB": 0x22,
+         "SUBU": 0x23, "AND": 0x24, "OR": 0x25, "XOR": 0x26, "NOR": 0x27,
+         "SLT": 0x2A, "SLTU": 0x2B}
+    I = {"BEQ": 0x04, "BNE": 0x05, "BLEZ": 0x06, "BGTZ": 0x07, "ADDI": 0x08,
+         "ADDIU": 0x09, "SLTI": 0x0A, "SLTIU": 0x0B, "ANDI": 0x0C,
+         "ORI": 0x0D, "XORI": 0x0E, "LUI": 0x0F, "LB": 0x20, "LH": 0x21,
+         "LWL": 0x22, "LW": 0x23, "LBU": 0x24, "LHU": 0x25, "LWR": 0x26,
+         "SB": 0x28, "SH": 0x29, "SWL": 0x2A, "SW": 0x2B, "SWR": 0x2E,
+         "LL": 0x30, "SC": 0x38}
+    REGIMM = {"BLTZ": 0x00, "BGEZ": 0x01, "BLTZAL": 0x10, "BGEZAL": 0x11}
+    if ins.op in R:
+        sa = ins.imm if ins.op in ("SLL", "SRL", "SRA") else 0
+        return ((ins.rs << 21) | (ins.rt << 16) | (ins.rd << 11)
+                | (sa << 6) | R[ins.op])
+    if ins.op in REGIMM:
+        return ((0x01 << 26) | (ins.rs << 21) | (REGIMM[ins.op] << 16)
+                | (ins.imm & 0xFFFF))
+    if ins.op in ("J", "JAL"):
+        return (({"J": 0x02, "JAL": 0x03}[ins.op]) << 26) | ins.imm
+    return ((I[ins.op] << 26) | (ins.rs << 21) | (ins.rt << 16)
+            | (ins.imm & 0xFFFF))
+
+
+def test_mips_cannon_ext_constraints_satisfied():
+    n = 512
+    beta, joint = 9981, 7743
+    from proof_systems_tpu.circuits.domains import EvaluationDomains
+
+    program = cannon_ext_program()
+    rows, state = execute(program, 400, heap0=0x20000000)
+    cols = build_columns(Fp, rows, state, n, TEST_LAYOUT)
+    lg = make_logup(Fp, program, n, TEST_LAYOUT)
+    full = lg.phase1_columns(cols)
+    phase2 = lg.phase2_host(beta, joint)
+    omega = EvaluationDomains.create(Fp, n).d1.group_gen
+    cons = constraints(Fp, lg, len(rows), None, state, omega, TEST_LAYOUT,
+                       {"heap": 0x20000000})
+    _host_check(full + phase2, cons, n, omega, beta, joint)
+
+
+PK_KEY = bytes(range(2, 34))
+PREIMAGES = {PK_KEY: b"\xDE\xAD\xBE\xEF\xCA\xFE"}
+
+
+def preimage_program():
+    """Writes a 32-byte preimage key via fd 6 (4 bytes at a time, with
+    one unaligned write exercising the n = 4 - off clamp), then reads
+    the length prefix and data back via fd 5, including a short read at
+    the end of the stream."""
+    prog = [
+        # key bytes at 0x100..0x120 are in the initial memory image
+        Instr("ADDIU", rt=4, rs=0, imm=6),         # fd 6 = preimage write
+        Instr("ADDIU", rt=6, rs=0, imm=4),         # count 4
+    ]
+    for w in range(8):
+        prog += [
+            Instr("ADDIU", rt=2, rs=0, imm=4004),  # SYS_WRITE (v0 clobbers r2)
+            Instr("ADDIU", rt=5, rs=0, imm=0x100 + 4 * w),
+            Instr("SYSCALL"),
+        ]
+
+    def read_at(addr):
+        return [
+            Instr("ADDIU", rt=2, rs=0, imm=4003),  # SYS_READ
+            Instr("ADDIU", rt=5, rs=0, imm=addr),
+            Instr("SYSCALL"),
+        ]
+
+    prog += [
+        Instr("ADDIU", rt=4, rs=0, imm=5),         # fd 5 = preimage read
+    ]
+    # the 8-byte length prefix to 0x200, then data: one UNALIGNED
+    # destination (n = 4 - 2 = 2), then aligned, then a short read and
+    # an n = 0 read at end-of-stream
+    prog += read_at(0x200) + read_at(0x204) + read_at(0x20A)
+    prog += read_at(0x20C) + read_at(0x210) + read_at(0x210)
+    prog += [
+        Instr("ADDU", rd=8, rs=2, rt=0),           # r8 = last v0 = 0
+        Instr("LW", rt=9, rs=0, imm=0x200),        # len hi word (0)
+        Instr("LW", rt=10, rs=0, imm=0x204),       # len lo word (6)
+        Instr("LW", rt=11, rs=0, imm=0x208),       # first data bytes
+    ]
+    return prog
+
+
+def _preimage_memory():
+    mem = {}
+    for w in range(8):
+        mem[0x100 + 4 * w] = int.from_bytes(PK_KEY[4 * w : 4 * w + 4], "big")
+    return mem
+
+
+def test_mips_preimage_oracle_semantics():
+    rows, state = execute(preimage_program(), 200, memory=_preimage_memory(),
+                          preimages=PREIMAGES)
+    r = state["regs"]
+    assert state["pk"] == PK_KEY
+    assert r[9] == 0 and r[10] == 6
+    assert r[8] == 0                       # read past end returns 0
+    assert state["po"] == 14               # 8 prefix + 6 data
+    # data lands at 0x20A..0x20F (unaligned first write)
+    assert state["memory"][0x208] == 0x0000DEAD
+    assert state["memory"][0x20C] == 0xBEEFCAFE
+
+
+def test_mips_preimage_constraints_satisfied():
+    n = 512
+    beta, joint = 5511, 8822
+    from proof_systems_tpu.circuits.domains import EvaluationDomains
+
+    program = preimage_program()
+    memory = _preimage_memory()
+    rows, state = execute(program, 200, memory=memory, preimages=PREIMAGES)
+    cols = build_columns(Fp, rows, state, n, TEST_LAYOUT)
+    lg = make_logup(Fp, program, n, TEST_LAYOUT, preimages=PREIMAGES)
+    full = lg.phase1_columns(cols)
+    phase2 = lg.phase2_host(beta, joint)
+    omega = EvaluationDomains.create(Fp, n).d1.group_gen
+    cons = constraints(Fp, lg, len(rows), None, state, omega, TEST_LAYOUT)
+    _host_check(full + phase2, cons, n, omega, beta, joint)
+
+
+def test_mips_corrupt_preimage_byte_not_in_table():
+    """A preimage-read row claiming a wrong stream byte is not in the
+    PREIMAGE table: multiplicity counting rejects it."""
+    n = 512
+    L = TEST_LAYOUT
+    program = preimage_program()
+    rows, state = execute(program, 200, memory=_preimage_memory(),
+                          preimages=PREIMAGES)
+    cols = build_columns(Fp, rows, state, n, L)
+    # find the first rpre row with n > 0 and corrupt its first stream byte
+    i = next(j for j, row in enumerate(rows)
+             if row.get("sys_kind") == "rpre" and row.get("n", 0) > 0)
+    cols[L.sb[0]][i] = (cols[L.sb[0]][i] + 1) % 256
+    lg = make_logup(Fp, program, n, L, preimages=PREIMAGES)
+    with pytest.raises(ValueError, match="not in table"):
+        lg.phase1_columns(cols)
+
+
 def test_mips_corrupt_memory_breaks_balance():
     """A corrupted LW result must make the LogUp memory multiset
     unbalanced: phase2 construction fails (an actual prover would hit a
