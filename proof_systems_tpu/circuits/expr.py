@@ -165,11 +165,21 @@ def alpha_pow(i: int) -> Expr:
 
 
 def combine_constraints(alphas, constraints: list[Expr]) -> Expr:
-    """Σ alpha^i · c_i (expr.rs:1621)."""
-    acc = Literal(0)
-    for a_i, c in zip(alphas, constraints, strict=True):
-        acc = acc + alpha_pow(a_i) * c
-    return acc
+    """Σ alpha^i · c_i (expr.rs:1621). Summed as a balanced tree so the
+    recursive evaluators stay within Python's stack on constraint sets
+    with thousands of terms (keccak: 10k+)."""
+    terms = [
+        alpha_pow(a_i) * c for a_i, c in zip(alphas, constraints, strict=True)
+    ]
+    if not terms:
+        return Literal(0)
+    while len(terms) > 1:
+        nxt = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+        terms = nxt
+    return terms[0]
 
 
 # ---------------------------------------------------------------------------

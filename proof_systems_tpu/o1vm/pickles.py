@@ -114,6 +114,7 @@ class ColumnProof:
 def prove_columns(
     domain, srs, curve: CurveParams, columns_evals: jnp.ndarray, constraints, rng,
     make_beta_columns=None, with_joint_combiner: bool = False,
+    quotient_numerator=None,
 ) -> ColumnProof:
     """columns_evals: (16, C, n) Montgomery evaluations over d1.
 
@@ -184,8 +185,19 @@ def prove_columns(
             F, constraints, n, d1.group_gen, d8, p
         ),
     )
-    combined = expr_mod.combine_constraints(range(len(constraints)), list(constraints))
-    numerator8 = expr_mod.eval_dev(combined, ctx)  # (16, 8n)
+    if quotient_numerator is not None:
+        # class-batched evaluator: for circuits with thousands of
+        # same-shape constraints (keccak bit columns), stacking each
+        # class into one batched kernel keeps the XLA graph tiny where
+        # the generic per-constraint AST walk would inline every one.
+        # Must equal combine_constraints(...) bit-exactly — the
+        # verifier recomputes that AST at zeta.
+        numerator8 = quotient_numerator(evals8, ctx)  # (16, 8n)
+    else:
+        combined = expr_mod.combine_constraints(
+            range(len(constraints)), list(constraints)
+        )
+        numerator8 = expr_mod.eval_dev(combined, ctx)  # (16, 8n)
     num_coeffs = d8.intt(numerator8)
     quotient, rem = poly.divide_by_vanishing(F, num_coeffs, n)
     import numpy as np

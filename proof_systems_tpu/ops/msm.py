@@ -266,7 +266,11 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
                 jnp.broadcast_to(arr, shape4), order[None], axis=-1
             )
 
-        jac = JPoint(g4(points.x), g4(points.y), g4(points.z))
+        # z is identically 1 for scaled bases (scale_basis normalizes to
+        # affine encoding, and 2^k·P of a non-infinity Pasta point is
+        # never infinity — prime order, cofactor 1), so the z gather
+        # would move a constant-one array: 1/3 of the gather bytes.
+        jac = JPoint(g4(points.x), g4(points.y), curve.F.one_mont((windows, b, n)))
     else:
         if points.x.ndim == 3:  # per-batch point sets
             px = jnp.take_along_axis(

@@ -107,7 +107,9 @@ def main():
     assert (jax.device_get(ends) == jax.device_get(ends2)).all()
 
     @jax.jit
-    def stage_gather(o):
+    def stage_gather(o, sx, sy, sz):
+        # points as ARGUMENTS: closure capture would embed them as
+        # jaxpr constants and XLA constant-folds the 2.6 GB broadcast
         def g4(arr):
             if arr.ndim == 3:
                 arr = arr[:, :, None]
@@ -115,9 +117,12 @@ def main():
                 jnp.broadcast_to(arr, shape4), o[None], axis=-1
             )
 
-        return g4(scaled.x), g4(scaled.y), g4(scaled.z)
+        return g4(sx), g4(sy), g4(sz)
 
-    jx, jy, jz = timeit("basis gather x3 (16,W,b,n)", lambda: stage_gather(order))
+    jx, jy, jz = timeit(
+        "basis gather x3 (16,W,b,n)",
+        lambda: stage_gather(order, scaled.x, scaled.y, scaled.z),
+    )
 
     @jax.jit
     def stage_scan(x, y, z):

@@ -122,3 +122,40 @@ def test_round_constraints_catch_corruption():
     )
     violated = any(E.eval_host(con, ctx) != 0 for con in cons)
     assert violated
+
+
+import pytest
+
+
+@pytest.mark.heavy
+def test_keccak_prove_verify():
+    """End-to-end keccak-f permutation proof through the pickles column
+    prover (class-batched quotient), with a corrupted-statement
+    negative. Reference: o1vm/src/interpreters/keccak/ + pickles."""
+    from proof_systems_tpu.circuits.domains import EvaluationDomains
+    from proof_systems_tpu.curves import Vesta
+    from proof_systems_tpu.o1vm.keccak import prove_keccak, verify_keccak
+    from proof_systems_tpu.poly_commitment import srs as srs_mod
+    from proof_systems_tpu.utils import TestRng
+
+    rng = random.Random(93)
+    state0 = [[rng.getrandbits(64) for _ in range(5)] for _ in range(5)]
+    n = 32  # ROUNDS + 1 = 25 rows
+    domain = EvaluationDomains.create(Fp, n)
+    srs = srs_mod.SRS(
+        Vesta, [srs_mod.derive_g(Vesta, i) for i in range(n)],
+        srs_mod.derive_h(Vesta),
+    )
+    proof, final = prove_keccak(domain, srs, Vesta, state0, TestRng(61))
+    assert final == keccak.keccak_f(state0)
+    assert verify_keccak(domain, srs, Vesta, proof, state0, final, TestRng(62))
+
+    # corrupted statement: wrong final state must fail
+    bad = [row[:] for row in final]
+    bad[1][2] ^= 1 << 7
+    assert not verify_keccak(domain, srs, Vesta, proof, state0, bad, TestRng(63))
+
+    # corrupted statement: wrong initial state must fail
+    bad0 = [row[:] for row in state0]
+    bad0[0][0] ^= 1
+    assert not verify_keccak(domain, srs, Vesta, proof, bad0, final, TestRng(64))

@@ -601,3 +601,89 @@ def test_mips_prove_verify_e2e():
     bad2["init_memory"] = dict(statement["init_memory"])
     bad2["init_memory"][32] = 9
     assert not verify_execution(domain, srs, Vesta, proof, bad2, TestRng(74))
+
+
+@pytest.mark.heavy
+def test_mips_cannon_snapshot_preimage_prove_verify():
+    """End-to-end: a Cannon snapshot segment that performs a preimage
+    read is executed by the Cannon witness runner, then proven and
+    verified from the snapshot fields (pc, regs, hi/lo, heap,
+    preimage_key/offset, touched memory), with a corrupted-preimage
+    negative. Reference flow: o1vm/src/pickles/main.rs:257 +
+    interpreter.rs:1148-1463 (syscall constraint surface)."""
+    from proof_systems_tpu.circuits.domains import EvaluationDomains
+    from proof_systems_tpu.curves import Vesta
+    from proof_systems_tpu.o1vm.cannon import (
+        CannonVM,
+        InMemoryPreImageOracle,
+        State,
+    )
+    from proof_systems_tpu.o1vm.mips import prove_execution, verify_execution
+    from proof_systems_tpu.poly_commitment import srs as srs_mod
+    from proof_systems_tpu.utils import TestRng
+
+    pc0 = 0x1000
+    key = bytes(range(64, 96))
+    preimages = {key: b"\x11\x22\x33\x44"}
+    # program: write the 32-byte key (already in memory at 0x100) to the
+    # preimage-write fd, read the 8-byte length prefix + 4 data bytes,
+    # then exit(fifth data word)
+    prog = [
+        Instr("ADDIU", rt=4, rs=0, imm=6),
+        Instr("ADDIU", rt=6, rs=0, imm=4),
+    ]
+    for w in range(8):
+        prog += [
+            Instr("ADDIU", rt=2, rs=0, imm=4004),
+            Instr("ADDIU", rt=5, rs=0, imm=0x100 + 4 * w),
+            Instr("SYSCALL"),
+        ]
+    prog += [Instr("ADDIU", rt=4, rs=0, imm=5)]
+    for a in (0x200, 0x204, 0x208):
+        prog += [
+            Instr("ADDIU", rt=2, rs=0, imm=4003),
+            Instr("ADDIU", rt=5, rs=0, imm=a),
+            Instr("SYSCALL"),
+        ]
+    prog += [
+        Instr("LW", rt=9, rs=0, imm=0x208),        # r9 = data word
+        Instr("ADDIU", rt=2, rs=0, imm=4246),      # exit_group
+        Instr("ADDIU", rt=4, rs=0, imm=3),
+        Instr("SYSCALL"),
+    ]
+
+    # build the snapshot and run the Cannon witness runner over it
+    st = State(memory={}, pc=pc0, next_pc=pc0 + 4)
+    vm = CannonVM(st, oracle=InMemoryPreImageOracle(preimages))
+    for w, ins in enumerate(prog):
+        vm.mem.write_word(pc0 + 4 * w, _encode(ins))
+    data_mem = {0x100 + 4 * w: int.from_bytes(key[4 * w:4 * w + 4], "big")
+                for w in range(8)}
+    for addr, val in data_mem.items():
+        vm.mem.write_word(addr, val)
+    vm.run(max_steps=100)
+    assert st.exited and st.exit == 3
+    assert st.registers[9] == 0x11223344
+
+    # prove the same segment from the snapshot's initial fields
+    n = 512
+    domain = EvaluationDomains.create(Fp, n)
+    srs = srs_mod.SRS(
+        Vesta, [srs_mod.derive_g(Vesta, i) for i in range(n)],
+        srs_mod.derive_h(Vesta),
+    )
+    proof, statement = prove_execution(
+        domain, srs, Vesta, prog, n, TestRng(81), memory=data_mem,
+        L=TEST_LAYOUT, pc0=pc0, preimages=preimages,
+    )
+    fin = statement["final"]
+    assert fin["exited"] and fin["exit_code"] == 3
+    assert fin["regs"][9] == 0x11223344
+    assert fin["regs"] == list(st.registers)
+    assert fin["pk"] == key and st.preimage_key == key
+    assert verify_execution(domain, srs, Vesta, proof, statement, TestRng(82))
+
+    # corrupted oracle: different preimage data must fail verification
+    bad = dict(statement)
+    bad["preimages"] = {key: b"\x11\x22\x33\x45"}
+    assert not verify_execution(domain, srs, Vesta, proof, bad, TestRng(83))
