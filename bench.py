@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """Headline benchmark: kimchi proof creation, vs the reference baseline.
 
-Reference numbers (BASELINE.md, README.md:37-41): proving time for a
+Reference numbers (BASELINE.md, README.md:37-55): proving time for a
 2^k-gate generic circuit over Vesta — 0.6 s at 2^11, 3.3 s at 2^15,
-6.3 s at 2^16. BENCH_K selects k (default 11).
+6.3 s at 2^16; verification 0.1 s; proof sizes 4,947 B (2^15) /
+5,018 B (2^16). BENCH_K selects k (default 11).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
-vs_baseline > 1 means faster than the reference.
+  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...,
+   "verify_s": ..., "proof_bytes": ...}
+vs_baseline > 1 means faster than the reference. verify_s/proof_bytes
+are measured when BENCH_VERIFY=1 (verify timed steady-state after its
+own warmup; proof size is the rmp wire format, serialization.py).
 """
 
 import json
@@ -58,12 +62,22 @@ def main() -> int:
     tw = time.time()
     proof = create_proof(index, witness, rng)
     print(f"[bench] warmup proof: {time.time()-tw:.1f}s", file=sys.stderr, flush=True)
+    verify_s = None
+    proof_bytes = None
     if os.environ.get("BENCH_VERIFY", "0") == "1":
         # correctness cross-check is covered by tests/; opt-in here so the
         # driver-budgeted bench run measures proving, the headline metric
         tw = time.time()
         assert verify(index.verifier_index(), proof, [], rng), "benchmark proof failed to verify"
-        print(f"[bench] verify: {time.time()-tw:.1f}s", file=sys.stderr, flush=True)
+        print(f"[bench] verify warmup: {time.time()-tw:.1f}s", file=sys.stderr, flush=True)
+        tw = time.time()
+        assert verify(index.verifier_index(), proof, [], rng)
+        verify_s = round(time.time() - tw, 4)
+        print(f"[bench] verify steady: {verify_s}s", file=sys.stderr, flush=True)
+        from proof_systems_tpu.serialization import serialize_proof
+
+        proof_bytes = len(serialize_proof(Vesta, proof))
+        print(f"[bench] proof size: {proof_bytes} B", file=sys.stderr, flush=True)
 
     reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     dt = float("inf")
@@ -79,6 +93,9 @@ def main() -> int:
         "unit": "s",
         "vs_baseline": round(baseline / dt, 3) if baseline else None,
     }
+    if verify_s is not None:
+        out["verify_s"] = verify_s
+        out["proof_bytes"] = proof_bytes
     print(json.dumps(out))
     return 0
 

@@ -161,13 +161,18 @@ class Runner:
     ) -> int:
         """Append pre-built gate rows whose cells are var ids (None =
         unconstrained zero). Rows must be contiguous from the current
-        row; the gates' wires are rebased accordingly."""
+        row; the gates' wires are translated — a gadget's INTERNAL copy
+        wiring (e.g. the multi-range-check MSB cycles) is preserved.
+        Cells participating in internal wiring must carry fresh
+        single-use vars so finalize()'s var cycles don't overwrite it."""
         base = len(self.gates)
+        row0 = gates[0].wires[0].row  # col 0 is identity in our creators
         for k, gate in enumerate(gates):
             row = base + k
-            self.gates.append(
-                CircuitGate(gate.typ, new_wires(row), list(gate.coeffs))
+            wires = tuple(
+                Wire(w.row - row0 + base, w.col) for w in gate.wires
             )
+            self.gates.append(CircuitGate(gate.typ, wires, list(gate.coeffs)))
             filled = list(cells[k]) + [None] * (COLUMNS - len(cells[k]))
             self.rows.append(filled)
             for colno, v in enumerate(filled):
@@ -242,6 +247,167 @@ class Runner:
         gate = CircuitGate(GT.CompleteAdd, new_wires(0), [])
         self._gadget_rows([gate], [cells])
         return (FieldVar(self, {cells[4]: 1}), FieldVar(self, {cells[5]: 1}))
+
+    def _bind(self, x: FieldVar) -> Tuple[int, int]:
+        """Reduce to a bare var usable as a gadget cell, pinning
+        non-trivial lincoms with one generic row. Returns (var, value)."""
+        coeff, v, k = self._single(x)
+        if coeff == 1 and k == 0:
+            return v, self.values[v]
+        val = (coeff * self.values[v] + k) % self.p
+        fresh = self._alloc(val)
+        self._generic_row([v, fresh, None], [coeff, -1 % self.p, 0, 0, k])
+        return fresh, val
+
+    def ec_scale(
+        self, curve, base: Tuple[FieldVar, FieldVar],
+        bits_msb: List[FieldVar], acc0: Tuple[FieldVar, FieldVar],
+    ) -> Tuple[FieldVar, FieldVar, FieldVar]:
+        """Variable-base scalar multiplication rounds
+        (KimchiConstraint::EcScale, constraint_system.rs:1542-1592): one
+        VarBaseMul + Zero row pair per 5 bits, the accumulator and the
+        bit-counter n chained across chunks by copy wiring. Returns
+        (acc_x, acc_y, n) with acc = acc0 shifted per varbasemul.rs
+        semantics (the caller applies the shift convention)."""
+        from .polynomials import witness_gen as wg
+
+        assert curve.base is self.f
+        assert len(bits_msb) % 5 == 0
+        nchunks = len(bits_msb) // 5
+        bx, bxv = self._bind(base[0])
+        by, byv = self._bind(base[1])
+        ax, axv = self._bind(acc0[0])
+        ay, ayv = self._bind(acc0[1])
+        bit_vars = [self._bind(b) for b in bits_msb]
+        tmp = wg.new_witness(2 * nchunks)
+        wg.varbasemul_witness(
+            curve, tmp, 0, (bxv, byv), [v for _, v in bit_vars], (axv, ayv)
+        )
+        zero_n, _ = self._bind(self.constant(0))
+        cells: List[List[Optional[int]]] = []
+        acc_vars = (ax, ay)
+        n_var = zero_n
+        fresh = lambda r, c: self._alloc(tmp[c][r])
+        for ch in range(2 * nchunks):
+            if ch % 2 == 0:  # VarBaseMul row
+                n_next = self._alloc(tmp[5][ch])
+                cells.append([
+                    bx, by, acc_vars[0], acc_vars[1], n_var, n_next, None,
+                    fresh(ch, 7), fresh(ch, 8), fresh(ch, 9), fresh(ch, 10),
+                    fresh(ch, 11), fresh(ch, 12), fresh(ch, 13), fresh(ch, 14),
+                ])
+                n_var = n_next
+            else:  # Zero row: final acc + bits + slopes
+                acc_vars = (self._alloc(tmp[0][ch]), self._alloc(tmp[1][ch]))
+                row = [acc_vars[0], acc_vars[1]]
+                row += [bit_vars[5 * (ch // 2) + i][0] for i in range(5)]
+                row += [fresh(ch, 7 + i) for i in range(5)]
+                cells.append(row)
+        gates = wg.create_vbmul_gates(0, nchunks)
+        self._gadget_rows(gates, cells)
+        return (FieldVar(self, {acc_vars[0]: 1}), FieldVar(self, {acc_vars[1]: 1}),
+                FieldVar(self, {n_var: 1}))
+
+    def ec_endoscale(
+        self, curve, base: Tuple[FieldVar, FieldVar],
+        bits_msb: List[FieldVar], acc0: Tuple[FieldVar, FieldVar],
+    ) -> Tuple[FieldVar, FieldVar, FieldVar]:
+        """GLV-endomorphism scalar multiplication
+        (KimchiConstraint::EcEndoscale, constraint_system.rs:1593-1632):
+        one EndoMul row per 4 bits plus a terminal Zero row carrying
+        (xs, ys, n). Bit cells live outside the permuted columns (as in
+        the reference layout), so callers bind the SCALAR via the
+        returned n accumulator, which the gate chain does constrain."""
+        from .polynomials import witness_gen as wg
+
+        assert curve.base is self.f
+        assert len(bits_msb) % 4 == 0
+        nrows = len(bits_msb) // 4
+        endo = curve.endos[0]
+        bx, bxv = self._bind(base[0])
+        by, byv = self._bind(base[1])
+        ax, axv = self._bind(acc0[0])
+        ay, ayv = self._bind(acc0[1])
+        bit_vals = [b.value() for b in bits_msb]
+        tmp = wg.new_witness(nrows + 1)
+        wg.endomul_witness(curve, tmp, 0, endo, (bxv, byv), bit_vals, (axv, ayv))
+        zero_n, _ = self._bind(self.constant(0))
+        cells: List[List[Optional[int]]] = []
+        acc_vars = (ax, ay)
+        n_var = zero_n
+        for r in range(nrows):
+            nxt_n = self._alloc(tmp[6][r + 1] if r + 1 < nrows else tmp[6][nrows])
+            cells.append([
+                bx, by, self._alloc(tmp[2][r]), None,
+                acc_vars[0], acc_vars[1], n_var,
+                self._alloc(tmp[7][r]), self._alloc(tmp[8][r]),
+                self._alloc(tmp[9][r]), self._alloc(tmp[10][r]),
+                self._alloc(tmp[11][r]), self._alloc(tmp[12][r]),
+                self._alloc(tmp[13][r]), self._alloc(tmp[14][r]),
+            ])
+            acc_vars = (self._alloc(tmp[4][r + 1]), self._alloc(tmp[5][r + 1]))
+            n_var = nxt_n
+        cells.append([None, None, None, None, acc_vars[0], acc_vars[1], n_var])
+        gates = wg.create_endomul_gates(0, nrows)
+        self._gadget_rows(gates, cells)
+        return (FieldVar(self, {acc_vars[0]: 1}), FieldVar(self, {acc_vars[1]: 1}),
+                FieldVar(self, {n_var: 1}))
+
+    def ec_endoscalar(
+        self, scalar: FieldVar, num_bits: int
+    ) -> Tuple[FieldVar, FieldVar, FieldVar]:
+        """Endo-scalar decomposition (KimchiConstraint::EcEndoscalar,
+        constraint_system.rs:1633-1653): EndoMulScalar rows recomputing
+        ScalarChallenge::to_field's (a, b) from the challenge bits;
+        returns (a, b, n) with n constrained to accumulate the scalar's
+        bits — callers assert n == scalar."""
+        from .polynomials import witness_gen as wg
+
+        assert num_bits % 16 == 0
+        nrows = num_bits // 16
+        sval = scalar.value()
+        assert sval < (1 << num_bits)
+        tmp = wg.new_witness(nrows)
+        wg.endomul_scalar_witness(self.f, tmp, 0, sval, num_bits)
+        two = self._bind(self.constant(2))[0]
+        zero_n = self._bind(self.constant(0))[0]
+        n_var, a_var, b_var = zero_n, two, two
+        cells: List[List[Optional[int]]] = []
+        for r in range(nrows):
+            n8 = self._alloc(tmp[1][r])
+            a8 = self._alloc(tmp[4][r])
+            b8 = self._alloc(tmp[5][r])
+            cells.append([
+                n_var, n8, a_var, b_var, a8, b8,
+            ] + [self._alloc(tmp[6 + j][r]) for j in range(8)])
+            n_var, a_var, b_var = n8, a8, b8
+        gates = wg.create_endomul_scalar_gates(0, nrows)
+        self._gadget_rows(gates, cells)
+        svar, _ = self._bind(scalar)
+        self.assert_eq(FieldVar(self, {n_var: 1}), FieldVar(self, {svar: 1}))
+        return (FieldVar(self, {a_var: 1}), FieldVar(self, {b_var: 1}),
+                FieldVar(self, {n_var: 1}))
+
+    def range_check(self, v0: FieldVar, v1: FieldVar, v2: FieldVar) -> None:
+        """88-bit multi-range-check block (KimchiConstraint::RangeCheck,
+        constraint_system.rs:1654-1699): RangeCheck0 ×2 + RangeCheck1 +
+        Zero rows; the gadget's internal MSB copy wiring is preserved."""
+        from .polynomials import optional_witness as ow
+        from .polynomials import witness_gen as wg
+
+        vars_vals = [self._bind(v) for v in (v0, v1, v2)]
+        tmp = wg.new_witness(4)
+        ow.multi_range_check_witness(
+            tmp, 0, vars_vals[0][1], vars_vals[1][1], vars_vals[2][1]
+        )
+        gates = ow.create_multi_range_check(0)
+        cells: List[List[Optional[int]]] = []
+        for r in range(4):
+            row: List[Optional[int]] = [self._alloc(tmp[c][r]) for c in range(COLUMNS)]
+            if r < 3:
+                row[0] = vars_vals[r][0]
+            cells.append(row)
+        self._gadget_rows(gates, cells)
 
     # -- reduction (constraint_system.rs reduce_lincom) --------------------
 

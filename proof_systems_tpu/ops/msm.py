@@ -258,19 +258,27 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     shape4 = (limb.NLIMBS, windows, b, n)
     if isinstance(points, JPoint):
         # pre-scaled per-window bases: (16, W, n) shared across b, or
-        # (16, W, b, n) per-batch (compact IPA rounds)
-        def g4(arr):
-            if arr.ndim == 3:
-                arr = arr[:, :, None]
-            return jnp.take_along_axis(
-                jnp.broadcast_to(arr, shape4), order[None], axis=-1
+        # (16, W, b, n) per-batch (compact IPA rounds).
+        # TPU gathers of 4-byte elements along the minor axis of a
+        # limb-major array lower to serialized per-index loops (~9x
+        # slower, measured); instead gather CONTIGUOUS 128-byte
+        # element-major rows (x||y limbs last) and transpose back.
+        # z is identically 1 for scaled bases (scale_basis normalizes
+        # to affine encoding, and 2^k·P of a non-infinity Pasta point
+        # is never infinity — prime order, cofactor 1), so z is never
+        # gathered at all.
+        NL = limb.NLIMBS
+        xy = jnp.concatenate([points.x, points.y], axis=0)
+        if xy.ndim == 3:
+            sem = jnp.broadcast_to(
+                jnp.transpose(xy, (1, 2, 0))[:, None],
+                (windows, b, n, 2 * NL),
             )
-
-        # z is identically 1 for scaled bases (scale_basis normalizes to
-        # affine encoding, and 2^k·P of a non-infinity Pasta point is
-        # never infinity — prime order, cofactor 1), so the z gather
-        # would move a constant-one array: 1/3 of the gather bytes.
-        jac = JPoint(g4(points.x), g4(points.y), curve.F.one_mont((windows, b, n)))
+        else:
+            sem = jnp.transpose(xy, (1, 2, 3, 0))
+        g = jnp.take_along_axis(sem, order[..., None], axis=2)
+        gt = jnp.transpose(g, (3, 0, 1, 2))  # (2L, W, b, n)
+        jac = JPoint(gt[:NL], gt[NL:], curve.F.one_mont((windows, b, n)))
     else:
         if points.x.ndim == 3:  # per-batch point sets
             px = jnp.take_along_axis(
@@ -309,25 +317,33 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
         # points as excl[l] + partial[j] (j = t-1, l = j // C) — one
         # elementwise EC add per boundary instead of the full
         # per-position combine phase (~45% of the fused scan's adds).
+        # Boundary values are fetched with ONE row-major gather over
+        # x||y||z element rows (192 B contiguous per index) — 4-byte
+        # limb-major gathers serialize on TPU (~9x, measured).
         from . import pallas_field
 
         (qx, qy, qz), (ex, ey, ez), C = pallas_field.ec_prefix_scan_parts(
             curve.F, jac.x, jac.y, jac.z, mixed=True
         )
-
-        def cum_at(t):
-            j = jnp.maximum(t, 1) - 1
-            l = j // C
-            gj = JPoint(gather(qx, j), gather(qy, j), gather(qz, j))
-            hl = JPoint(gather(ex, l), gather(ey, l), gather(ez, l))
-            x, y, z = pallas_field.jacobian_add(
-                curve.F, hl.x, hl.y, hl.z, gj.x, gj.y, gj.z
-            )
-            z = limb.select(t == 0, jnp.zeros_like(z), z)
-            return JPoint(x, y, z)
-
-        hi = cum_at(ends)
-        lo = cum_at(idx_lo)
+        NL = limb.NLIMBS
+        qcat = jnp.transpose(jnp.concatenate([qx, qy, qz], axis=0), (1, 2, 3, 0))
+        ecat = jnp.transpose(jnp.concatenate([ex, ey, ez], axis=0), (1, 2, 3, 0))
+        t_all = jnp.concatenate([ends, idx_lo], axis=-1)  # (W, b, 2D)
+        j_all = jnp.maximum(t_all, 1) - 1
+        gj = jnp.transpose(
+            jnp.take_along_axis(qcat, j_all[..., None], axis=2), (3, 0, 1, 2)
+        )
+        hl = jnp.transpose(
+            jnp.take_along_axis(ecat, (j_all // C)[..., None], axis=2), (3, 0, 1, 2)
+        )
+        x, y, z = pallas_field.jacobian_add(
+            curve.F, hl[:NL], hl[NL:2 * NL], hl[2 * NL:],
+            gj[:NL], gj[NL:2 * NL], gj[2 * NL:],
+        )
+        z = limb.select(t_all == 0, jnp.zeros_like(z), z)
+        D = nbuckets
+        hi = JPoint(x[..., :D], y[..., :D], z[..., :D])
+        lo = JPoint(x[..., D:], y[..., D:], z[..., D:])
     else:
         cum = _ec_prefix(curve, jac, n, ident)
         # prepend identity so cum_ext[..., j] = sum of first j points

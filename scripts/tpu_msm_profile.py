@@ -131,6 +131,65 @@ def main():
 
     qx, qy, qz, ex, ey, ez = timeit("ec_prefix_scan_parts", lambda: stage_scan(jx, jy, jz))
 
+    from proof_systems_tpu.ops import scan as scan_mod  # noqa: F401
+    from proof_systems_tpu.ops.curve_ops import JPoint as JP
+
+    nbuckets = 1 << c
+    Cchunk = -(-n // 128) * 0 + (qx.shape[-1] // max(ex.shape[-1], 1)) if ex.shape[-1] else 0
+
+    @jax.jit
+    def stage_boundaries(qx, qy, qz, ex, ey, ez, sd):
+        counts = jax.vmap(lambda dd: jnp.bincount(dd, length=nbuckets))(
+            sd.reshape(W * b, n)
+        ).reshape(W, b, nbuckets)
+        ends = jnp.cumsum(counts, axis=-1)
+        idx_lo = jnp.concatenate(
+            [jnp.zeros((W, b, 1), ends.dtype), ends[..., :-1]], axis=-1)
+        Cc = qx.shape[-1] // ex.shape[-1]
+
+        def gather(arr, idx):
+            return jnp.take_along_axis(
+                arr, jnp.broadcast_to(idx[None], (limb.NLIMBS, *idx.shape)), axis=-1)
+
+        def cum_at(t):
+            j = jnp.maximum(t, 1) - 1
+            l = j // Cc
+            gj = (gather(qx, j), gather(qy, j), gather(qz, j))
+            hl = (gather(ex, l), gather(ey, l), gather(ez, l))
+            x, y, z = pf.jacobian_add(F, hl[0], hl[1], hl[2], gj[0], gj[1], gj[2])
+            z = limb.select(t == 0, jnp.zeros_like(z), z)
+            return JP(x, y, z)
+
+        hi = cum_at(ends)
+        lo = cum_at(idx_lo)
+        buckets = curve.add(hi, curve.neg(lo))
+        return buckets.x, buckets.y, buckets.z
+
+    sdig = jnp.take_along_axis(digits, order, axis=-1)
+    bkx, bky, bkz = timeit(
+        "boundary reconstruction -> buckets",
+        lambda: stage_boundaries(qx, qy, qz, ex, ey, ez, sdig))
+
+    ident = curve.inf_jacobian((W, b, 1))
+
+    @jax.jit
+    def stage_bucketsum(x, y, z):
+        rev = JP(x[..., 1:][..., ::-1], y[..., 1:][..., ::-1], z[..., 1:][..., ::-1])
+        suf = msm._ec_prefix(curve, rev, nbuckets - 1, ident)
+        win = msm._scan_sum(curve, suf, nbuckets - 1, ident)
+        return win.x[..., 0], win.y[..., 0], win.z[..., 0]
+
+    wx, wy, wz = timeit("bucket suffix scan + weighted sum",
+                        lambda: stage_bucketsum(bkx, bky, bkz))
+
+    @jax.jit
+    def stage_combine(x, y, z):
+        total = msm.sum_windows(curve, JP(x, y, z))
+        aff = curve.to_affine(total)
+        return aff.x, aff.y
+
+    timeit("window tree sum + to_affine", lambda: stage_combine(wx, wy, wz))
+
     # full fused graph (the real thing)
     body = msm._msm_affine_scaled
     timeit("FULL _msm_affine_scaled", lambda: body(curve, scal, scaled, c), reps=3)

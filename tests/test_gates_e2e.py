@@ -150,3 +150,33 @@ def test_nonzero_public_input_prove():
     assert not verify(
         index.verifier_index(), proof, [pub_vals[0], (pub_vals[1] + 1) % Fp.p], TestRng(99)
     )
+
+
+def test_and_prove():
+    """And gadget prove+verify (kimchi/src/tests/and.rs)."""
+    from proof_systems_tpu.circuits.polynomials import optional_witness as ow
+
+    rng = random.Random(114)
+    a, b = rng.randrange(1 << 64), rng.randrange(1 << 64)
+    gates = ow.create_and_gadget(0, Fp, 64)
+    cs = make_cs(gates, size=1 << 13)
+    n = cs.domain.d1.n
+    witness = [[0] * n for _ in range(15)]
+    got = ow.and_witness(witness, 0, a, b, 64)
+    assert got == a & b
+    prove_and_verify(cs, witness, 115)
+
+
+def test_not_prove():
+    """Not gadget prove+verify (kimchi/src/tests/not.rs)."""
+    from proof_systems_tpu.circuits.polynomials import optional_witness as ow
+
+    rng = random.Random(116)
+    vals = [rng.randrange(1 << 64) for _ in range(3)]
+    gates = ow.create_not_gadget(0, Fp, 3, 64)
+    cs = make_cs(gates, size=1 << 13)
+    n = cs.domain.d1.n
+    witness = [[0] * n for _ in range(15)]
+    nots = ow.not_witness(witness, 0, vals, 64)
+    assert nots == [((1 << 64) - 1) ^ v for v in vals]
+    prove_and_verify(cs, witness, 117)
