@@ -261,24 +261,26 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
         # (16, W, b, n) per-batch (compact IPA rounds).
         # TPU gathers of 4-byte elements along the minor axis of a
         # limb-major array lower to serialized per-index loops (~9x
-        # slower, measured); instead gather CONTIGUOUS 128-byte
-        # element-major rows (x||y limbs last) and transpose back.
-        # z is identically 1 for scaled bases (scale_basis normalizes
-        # to affine encoding, and 2^k·P of a non-infinity Pasta point
-        # is never infinity — prime order, cofactor 1), so z is never
-        # gathered at all.
+        # slower, measured); instead gather CONTIGUOUS 132-byte
+        # element-major rows (x||y limbs + an infinity bit, limbs last)
+        # and transpose back. z is in affine encoding {0, 1·R}
+        # (scale_basis normalizes), so it carries exactly one bit —
+        # riding it in the row replaces a full 16-limb z gather.
         NL = limb.NLIMBS
-        xy = jnp.concatenate([points.x, points.y], axis=0)
+        infbit = limb.is_zero(curve.F, points.z).astype(points.x.dtype)
+        xy = jnp.concatenate([points.x, points.y, infbit[None]], axis=0)
         if xy.ndim == 3:
             sem = jnp.broadcast_to(
                 jnp.transpose(xy, (1, 2, 0))[:, None],
-                (windows, b, n, 2 * NL),
+                (windows, b, n, 2 * NL + 1),
             )
         else:
             sem = jnp.transpose(xy, (1, 2, 3, 0))
         g = jnp.take_along_axis(sem, order[..., None], axis=2)
-        gt = jnp.transpose(g, (3, 0, 1, 2))  # (2L, W, b, n)
-        jac = JPoint(gt[:NL], gt[NL:], curve.F.one_mont((windows, b, n)))
+        gt = jnp.transpose(g, (3, 0, 1, 2))  # (2L+1, W, b, n)
+        one = curve.F.one_mont((windows, b, n))
+        pz = limb.select(gt[2 * NL] != 0, curve.F.zeros((windows, b, n)), one)
+        jac = JPoint(gt[:NL], gt[NL:2 * NL], pz)
     else:
         if points.x.ndim == 3:  # per-batch point sets
             px = jnp.take_along_axis(

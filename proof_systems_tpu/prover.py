@@ -98,6 +98,40 @@ def _quotient_fn(index: ProverIndex):
             rsel8=ld0["runtime_sel8"],
         )
 
+    # Multi-device: shard every d8 EVALUATION array over the mesh's data
+    # axis (the twiddle tables stay replicated so the NTT fori-loops run
+    # local). GSPMD then distributes the whole pointwise quotient walk —
+    # including the NEXT-row rolls, which XLA turns into
+    # collective-permutes — without any change to the graph semantics
+    # (replacing the reference's rayon expr evaluation,
+    # kimchi/src/circuits/expr.rs:1142-1246, with sharded columns).
+    from .parallel.auto import data_mesh
+
+    mesh = data_mesh()
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        ndev = mesh.devices.size
+        n8 = 8 * n
+
+        def shard_evals(x):
+            if (
+                hasattr(x, "ndim")
+                and x.ndim >= 2
+                and x.shape[-1] == n8
+                and n8 % ndev == 0
+            ):
+                spec = P(*([None] * (x.ndim - 1)), "data")
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            return x
+
+        skip = {"fwd8", "inv8"}
+        K0 = {
+            k: (v if k in skip else jax.tree.map(shard_evals, v))
+            for k, v in K0.items()
+        }
+
     def to_d8(coeffs, fwd_tw):
         padded = jnp.concatenate(
             [coeffs, jnp.zeros((NLIMBS, *coeffs.shape[1:-1], 7 * n), dtype=coeffs.dtype)],

@@ -159,7 +159,7 @@ def test_and_prove():
     rng = random.Random(114)
     a, b = rng.randrange(1 << 64), rng.randrange(1 << 64)
     gates = ow.create_and_gadget(0, Fp, 64)
-    cs = make_cs(gates, size=1 << 13)
+    cs = make_cs(gates, size=1 << 10)  # 4-bit xor table: 256 rows suffice
     n = cs.domain.d1.n
     witness = [[0] * n for _ in range(15)]
     got = ow.and_witness(witness, 0, a, b, 64)
@@ -174,7 +174,7 @@ def test_not_prove():
     rng = random.Random(116)
     vals = [rng.randrange(1 << 64) for _ in range(3)]
     gates = ow.create_not_gadget(0, Fp, 3, 64)
-    cs = make_cs(gates, size=1 << 13)
+    cs = make_cs(gates, size=1 << 10)
     n = cs.domain.d1.n
     witness = [[0] * n for _ in range(15)]
     nots = ow.not_witness(witness, 0, vals, 64)

@@ -104,3 +104,50 @@ def test_batch_sharded_msm_parity():
     got = msm_mod._decode_packed_affine(curve, fn(scal, apts))
     want = [Vesta.msm(row, pts) for row in scal_rows]
     assert got == want
+
+
+def test_multidevice_create_proof_equals_single_device():
+    """End-to-end kimchi proof on the 8-device mesh (GSPMD-sharded d8
+    quotient columns) is byte-identical to the single-device proof
+    under the same RNG (VERDICT round-3 item 3: the prover itself
+    producing a proof on >1 device)."""
+    import os
+
+    from proof_systems_tpu.circuits.builders import bench_circuit, bench_witness
+    from proof_systems_tpu.circuits.constraints import ConstraintSystem
+    from proof_systems_tpu.curves import Vesta
+    from proof_systems_tpu.fields import Fp as _Fp
+    from proof_systems_tpu.parallel.auto import data_mesh, reset_mesh
+    from proof_systems_tpu.poly_commitment import srs as srs_mod
+    from proof_systems_tpu.prover import create_proof
+    from proof_systems_tpu.prover_index import ProverIndex
+    from proof_systems_tpu.serialization import serialize_proof
+    from proof_systems_tpu.utils import TestRng
+    from proof_systems_tpu.verifier import verify
+
+    n = 64
+    srs = srs_mod.SRS(
+        Vesta, [srs_mod.derive_g(Vesta, i) for i in range(n)],
+        srs_mod.derive_h(Vesta),
+    )
+    cs = ConstraintSystem.create(_Fp, bench_circuit(_Fp, n - 10), public=0,
+                                 max_poly_size=n)
+    witness = bench_witness(n - 10)
+
+    reset_mesh()
+    os.environ.pop("PST_MESH", None)
+    assert data_mesh() is not None, "8-device mesh expected under conftest"
+    index_mesh = ProverIndex(cs, Vesta, srs)
+    proof_mesh = create_proof(index_mesh, [list(c) for c in witness], TestRng(55))
+    assert verify(index_mesh.verifier_index(), proof_mesh, [], TestRng(56))
+
+    os.environ["PST_MESH"] = "0"
+    reset_mesh()
+    try:
+        assert data_mesh() is None
+        index_one = ProverIndex(cs, Vesta, srs)
+        proof_one = create_proof(index_one, [list(c) for c in witness], TestRng(55))
+    finally:
+        os.environ.pop("PST_MESH", None)
+        reset_mesh()
+    assert serialize_proof(Vesta, proof_mesh) == serialize_proof(Vesta, proof_one)
