@@ -256,9 +256,14 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     order = jnp.argsort(digits, axis=-1)
     sdig = jnp.take_along_axis(digits, order, axis=-1)
     shape4 = (limb.NLIMBS, windows, b, n)
-    if isinstance(points, JPoint):
-        # pre-scaled per-window bases: (16, W, n) shared across b, or
-        # (16, W, b, n) per-batch (compact IPA rounds).
+    NL = limb.NLIMBS
+    if isinstance(points, JPoint) or (
+        hasattr(points, "ndim") and not isinstance(points, APoint)
+    ):
+        # pre-scaled per-window bases: (16, W, n) shared across b,
+        # (16, W, b, n) per-batch, or an ALREADY element-major
+        # (W, b, n, 2L+1) row array (elem_major_basis — the fused IPA
+        # builds its per-round compact bases in row form directly).
         # TPU gathers of 4-byte elements along the minor axis of a
         # limb-major array lower to serialized per-index loops (~9x
         # slower, measured); instead gather CONTIGUOUS 132-byte
@@ -266,16 +271,19 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
         # and transpose back. z is in affine encoding {0, 1·R}
         # (scale_basis normalizes), so it carries exactly one bit —
         # riding it in the row replaces a full 16-limb z gather.
-        NL = limb.NLIMBS
-        infbit = limb.is_zero(curve.F, points.z).astype(points.x.dtype)
-        xy = jnp.concatenate([points.x, points.y, infbit[None]], axis=0)
-        if xy.ndim == 3:
-            sem = jnp.broadcast_to(
-                jnp.transpose(xy, (1, 2, 0))[:, None],
-                (windows, b, n, 2 * NL + 1),
-            )
+        if isinstance(points, JPoint):
+            infbit = limb.is_zero(curve.F, points.z).astype(points.x.dtype)
+            xy = jnp.concatenate([points.x, points.y, infbit[None]], axis=0)
+            if xy.ndim == 3:
+                sem = jnp.broadcast_to(
+                    jnp.transpose(xy, (1, 2, 0))[:, None],
+                    (windows, b, n, 2 * NL + 1),
+                )
+            else:
+                sem = jnp.transpose(xy, (1, 2, 3, 0))
         else:
-            sem = jnp.transpose(xy, (1, 2, 3, 0))
+            sem = points
+            assert sem.shape == (windows, b, n, 2 * NL + 1), sem.shape
         g = jnp.take_along_axis(sem, order[..., None], axis=2)
         gt = jnp.transpose(g, (3, 0, 1, 2))  # (2L+1, W, b, n)
         one = curve.F.one_mont((windows, b, n))
@@ -364,6 +372,15 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     suf = _ec_prefix(curve, rev, nbuckets - 1, ident)
     win = _scan_sum(curve, suf, nbuckets - 1, ident)  # (.., W, b, 1)
     return JPoint(win.x[..., 0], win.y[..., 0], win.z[..., 0])
+
+
+def elem_major_basis(F, pts: JPoint) -> jax.Array:
+    """(16, W, n) scaled JPoint basis -> (W, n, 2L+1) element-major rows
+    (x limbs ++ y limbs ++ infinity bit) for fast row gathers."""
+    infbit = limb.is_zero(F, pts.z).astype(pts.x.dtype)
+    return jnp.transpose(
+        jnp.concatenate([pts.x, pts.y, infbit[None]], axis=0), (1, 2, 0)
+    )
 
 
 def default_window_bits(n: int) -> int:

@@ -452,6 +452,8 @@ def _ipa_all_rounds(
     # pre-scaled from the SRS cache)
     W_half = gh_scaled_half.x.shape[1]
     u_scaled = msm.scale_basis(curve, u_dev, c_half, W_half)  # (16, W, 1)
+    sem_gh = msm.elem_major_basis(F, gh_scaled_half)  # (W, n+1, 2L+1)
+    sem_u = msm.elem_major_basis(F, u_scaled)  # (W, 1, 2L+1)
 
     def round_body(k, carry):
         a, b, mask, state, lr_acc = carry
@@ -487,28 +489,21 @@ def _ipa_all_rounds(
         )  # (16, 2, 1)
         scal = jnp.concatenate([body_s, rand_k, ips], axis=-1)  # (16, 2, half+2)
 
-        # scaled per-window bases, gathered per batch row: g[idx] ++ h ++ u
-        def pts_row(coord, u_coord, idx):
+        # scaled per-window bases gathered per batch row (g[idx] ++ h ++
+        # u), assembled as ELEMENT-MAJOR 132-byte rows — minor-axis
+        # 4-byte gathers from the limb-major coords serialized on TPU
+        # (~128 ms/round at k=15)
+        def pts_sem(idx):
             return jnp.concatenate(
                 [
-                    jnp.take(coord[:, :, :n], idx, axis=-1),  # (16, W, half)
-                    coord[:, :, n : n + 1],  # h
-                    u_coord,  # u
+                    jnp.take(sem_gh[:, :n], idx, axis=1),  # (W, half, 2L+1)
+                    sem_gh[:, n : n + 1],  # h
+                    sem_u,  # u
                 ],
-                axis=-1,
+                axis=1,
             )
 
-        def pts_coord(coord, u_coord):
-            return jnp.stack(
-                [pts_row(coord, u_coord, idx_L), pts_row(coord, u_coord, idx_R)],
-                axis=2,
-            )  # (16, W, 2, half+2)
-
-        pts = JPoint(
-            pts_coord(gh_scaled_half.x, u_scaled.x),
-            pts_coord(gh_scaled_half.y, u_scaled.y),
-            pts_coord(gh_scaled_half.z, u_scaled.z),
-        )
+        pts = jnp.stack([pts_sem(idx_L), pts_sem(idx_R)], axis=1)
 
         wins = msm._window_sums_body(curve, scal, pts, c_half)
         comb = msm.sum_windows(curve, wins)
