@@ -231,3 +231,12 @@ Vesta = CurveParams(
     b=5,
     generator_y=11426906929455361843568202299992114520848200991084027513389447476559454104162,
 )
+
+# Legacy curve variants: copies of the normal curves whose NAME selects
+# the legacy (x^5, 63-round) sponge parameter set in sponge_for —
+# curves/src/pasta/curves/pallas.rs:52-74, vesta.rs (the reference keeps
+# distinct types for the same reason: legacy sponge param routing).
+import dataclasses as _dc
+
+LegacyPallas = _dc.replace(Pallas, name="LegacyPallas")
+LegacyVesta = _dc.replace(Vesta, name="LegacyVesta")

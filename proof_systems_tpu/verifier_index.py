@@ -13,8 +13,17 @@ from .poseidon import FqSponge, fp_kimchi, fq_kimchi
 
 def sponge_for(curve: CurveParams) -> FqSponge:
     """The Fq sponge over the curve's base field
-    (G::other_curve_sponge_params: fq_kimchi params for Vesta)."""
-    params = fq_kimchi if curve.base.name == "Fq" else fp_kimchi
+    (G::other_curve_sponge_params: fq_kimchi params for Vesta). The
+    Legacy* curve variants route to the legacy (x^5, 63-round) sponge
+    parameter sets — the reference keeps distinct curve types for
+    exactly this (curves/src/pasta/curves/pallas.rs:52,
+    kimchi/src/curve.rs)."""
+    if curve.name.startswith("Legacy"):
+        from .poseidon import fp_legacy, fq_legacy
+
+        params = fq_legacy if curve.base.name == "Fq" else fp_legacy
+    else:
+        params = fq_kimchi if curve.base.name == "Fq" else fp_kimchi
     return FqSponge(params, curve)
 
 

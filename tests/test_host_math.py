@@ -161,3 +161,23 @@ class TestSponge:
         s.absorb_fq([42])
         d = s.digest()
         assert 0 <= d < Fp.p
+
+
+def test_legacy_curve_variants():
+    """Legacy* curves are copies of the normal curves whose type routes
+    to the legacy sponge parameter set (curves/src/pasta/curves/
+    pallas.rs:52-74; kimchi/src/curve.rs)."""
+    from proof_systems_tpu.curves import LegacyPallas, LegacyVesta, Pallas, Vesta
+    from proof_systems_tpu.poseidon import fp_legacy, fq_legacy, fq_kimchi
+    from proof_systems_tpu.verifier_index import sponge_for
+
+    assert LegacyPallas.generator == Pallas.generator
+    assert LegacyVesta.generator == Vesta.generator
+    assert LegacyPallas.b == 5 and LegacyVesta.b == 5
+    # group law identical
+    g2 = Pallas.double(Pallas.generator)
+    assert LegacyPallas.double(LegacyPallas.generator) == g2
+    # sponge params: legacy variants pick the x^5 63-round sets
+    assert sponge_for(LegacyVesta).sponge.params is fq_legacy
+    assert sponge_for(LegacyPallas).sponge.params is fp_legacy
+    assert sponge_for(Vesta).sponge.params is fq_kimchi
