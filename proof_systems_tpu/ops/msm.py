@@ -253,8 +253,18 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     nbuckets = 1 << c
 
     digits = jnp.stack([_digits(scalars, c, w) for w in range(windows)], axis=0)  # (W, b, n)
-    order = jnp.argsort(digits, axis=-1)
-    sdig = jnp.take_along_axis(digits, order, axis=-1)
+    idx_bits = max(n - 1, 1).bit_length()
+    if c + idx_bits <= 32:
+        # single packed u32 sort: (digit << idx_bits) | position sorts
+        # 6x faster than argsort's key+iota pair on TPU (measured), and
+        # reproduces the stable order exactly
+        packed = (digits << idx_bits) | jnp.arange(n, dtype=jnp.uint32)
+        spacked = jnp.sort(packed, axis=-1)
+        order = (spacked & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+        sdig = (spacked >> idx_bits).astype(digits.dtype)
+    else:
+        order = jnp.argsort(digits, axis=-1)
+        sdig = jnp.take_along_axis(digits, order, axis=-1)
     shape4 = (limb.NLIMBS, windows, b, n)
     NL = limb.NLIMBS
     if isinstance(points, JPoint) or (
@@ -309,11 +319,12 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
         jac = JPoint(px, py, pz)
 
     ident = curve.inf_jacobian((windows, b, 1))
-    # ends[d] = #elements with digit <= d  (prefix boundary index)
-    counts = jax.vmap(lambda dd: jnp.bincount(dd, length=nbuckets))(
-        sdig.reshape(windows * b, n)
-    ).reshape(windows, b, nbuckets)
-    ends = jnp.cumsum(counts, axis=-1)
+    # ends[d] = #elements with digit <= d: binary search on the sorted
+    # digits (the bincount scatter cost ~2x the sort itself on TPU)
+    buckets = jnp.arange(nbuckets, dtype=sdig.dtype)
+    ends = jax.vmap(
+        lambda row: jnp.searchsorted(row, buckets, side="right")
+    )(sdig.reshape(windows * b, n)).reshape(windows, b, nbuckets)
     idx_lo = jnp.concatenate([jnp.zeros((windows, b, 1), ends.dtype), ends[..., :-1]], axis=-1)
 
     def gather(arr, idx):

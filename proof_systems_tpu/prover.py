@@ -361,7 +361,7 @@ def create_proof(
     else:
         public_evals_d1 = [(-x) % p for x in public] + [0] * (n - cs.public)
         public_dev = F.pack_mont(public_evals_d1, shape=(1, n))
-        public_coeffs = d1.intt(public_dev)  # (16, 1, n)
+        public_coeffs = d1.intt_t(public_dev, d1.inv_twiddles)  # (16, 1, n)
         public_comm = index.srs.commit_coeffs_dev(public_coeffs, nc, [[1] * nc])[0]
     fq_sponge.absorb_g(public_comm.chunks)
 
@@ -372,7 +372,7 @@ def create_proof(
     else:
         flat_w = [v for col in witness for v in col]
         w_evals = F.pack_mont(flat_w, shape=(COLUMNS, n))  # (16, 15, n)
-    w_coeffs = d1.intt(w_evals)
+    w_coeffs = d1.intt_t(w_evals, d1.inv_twiddles)
     # vec![rand; num_chunks]: ONE sample repeated per chunk (prover.rs:317)
     w_blinders = [[rng.field(p)] * nc for _ in range(COLUMNS)]
     w_comms = index.srs.commit_coeffs_dev(w_coeffs, nc, w_blinders)
@@ -400,7 +400,7 @@ def create_proof(
             for i in range(n - zk, n):
                 runtime_d1[i] = rng.field(p)
             runtime_dev = F.pack_mont(runtime_d1, shape=(1, n))
-            runtime_coeffs = d1.intt(runtime_dev)[:, 0]
+            runtime_coeffs = d1.intt_t(runtime_dev, d1.inv_twiddles)[:, 0]
             runtime_blinder = [rng.field(p) for _ in range(nc)]
             runtime_comm = index.srs.commit_coeffs_dev(
                 runtime_coeffs[:, None, :], nc, [runtime_blinder]
@@ -427,7 +427,7 @@ def create_proof(
         sorted_dev = F.pack_mont(
             [v for col in sorted_cols for v in col], shape=(nsorted, n)
         )
-        sorted_coeffs = d1.intt(sorted_dev)
+        sorted_coeffs = d1.intt_t(sorted_dev, d1.inv_twiddles)
         sorted_blinders = [
             [rng.field(p) for _ in range(nc)] for _ in range(nsorted)
         ]
@@ -451,7 +451,7 @@ def create_proof(
             beta, gamma, lookup_ctx["sorted_cols"], lookup_ctx["table_d1"], zk, rng,
         )
         aggreg_dev = F.pack_mont(aggreg, shape=(1, n))
-        aggreg_coeffs = d1.intt(aggreg_dev)
+        aggreg_coeffs = d1.intt_t(aggreg_dev, d1.inv_twiddles)
         aggreg_blinder = [rng.field(p) for _ in range(nc)]
         aggreg_comm = index.srs.commit_coeffs_dev(aggreg_coeffs, nc, [aggreg_blinder])[0]
         fq_sponge.absorb_g(aggreg_comm.chunks)
@@ -509,7 +509,7 @@ def create_proof(
         tail = limb.mont_mul(F, pref[:, n - zk + 2 : n - 1], scale)
         parts.append(tail)
     z_evals = jnp.concatenate(parts, axis=-1)[:, :n]
-    z_coeffs = d1.intt(z_evals)
+    z_coeffs = d1.intt_t(z_evals, d1.inv_twiddles)
     z_blinder = [rng.field(p) for _ in range(nc)]
     z_comm = index.srs.commit_coeffs_dev(z_coeffs[:, None, :], nc, [z_blinder])[0]
     fq_sponge.absorb_g(z_comm.chunks)

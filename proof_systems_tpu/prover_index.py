@@ -128,11 +128,14 @@ class ProverIndex:
 
         flat = [v for col in host_cols for v in col]
         arr = F.pack_mont(flat, shape=(len(host_cols), n))
-        coeffs = d1.intt(arr)
+        # twiddles as traced args: the jitted plan methods embed the
+        # (log_n, 16, n/2) tables as HLO constants — ~318 MB at k=16 d8,
+        # over the axon compile service's request limit (HTTP 413)
+        coeffs = d1.intt_t(arr, d1.inv_twiddles)
         padded = jnp.concatenate(
             [coeffs, jnp.zeros((NLIMBS, len(host_cols), 7 * n), dtype=coeffs.dtype)], axis=-1
         )
-        evals8 = d8.ntt(padded)
+        evals8 = d8.ntt_t(padded, d8.fwd_twiddles)
 
         # zk polynomials evaluated on d8 from the d8 element vector
         x_d8 = poly.powers_dev(F, d8.group_gen, d8.n)
@@ -182,12 +185,12 @@ class ProverIndex:
         if has_runtime:
             cols = cols + [lcs.runtime_selector_d1]
         arr = F.pack_mont([v for col in cols for v in col], shape=(len(cols), n))
-        coeffs = d1.intt(arr)
+        coeffs = d1.intt_t(arr, d1.inv_twiddles)
         padded = jnp.concatenate(
             [coeffs, jnp.zeros((limb.NLIMBS, len(cols), 7 * n), dtype=coeffs.dtype)],
             axis=-1,
         )
-        evals8 = d8.ntt(padded)
+        evals8 = d8.ntt_t(padded, d8.fwd_twiddles)
         w = len(lcs.lookup_table)
         has_ids = lcs.table_ids is not None
         off = w + (1 if has_ids else 0)

@@ -110,8 +110,16 @@ def test_multidevice_create_proof_equals_single_device():
     """End-to-end kimchi proof on the 8-device mesh (GSPMD-sharded d8
     quotient columns) is byte-identical to the single-device proof
     under the same RNG (VERDICT round-3 item 3: the prover itself
-    producing a proof on >1 device)."""
+    producing a proof on >1 device).
+
+    jax.clear_caches() first: compiling the sharded prover graphs on
+    top of a full suite's accumulated executables segfaults XLA:CPU
+    (reproducible at this test in-suite, never in isolation)."""
     import os
+
+    import jax
+
+    jax.clear_caches()
 
     from proof_systems_tpu.circuits.builders import bench_circuit, bench_witness
     from proof_systems_tpu.circuits.constraints import ConstraintSystem
