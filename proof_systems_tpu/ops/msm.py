@@ -463,7 +463,10 @@ def msm(
     # HBM guard: the gathered per-window arrays are (16, W, b, n) x ~8
     # live buffers. Split the batch when W*b*n exceeds the budget
     # (~0.5 GB/buffer) so k=15/16 witness commits fit on one chip.
-    max_elems = int(os.environ.get("PST_MSM_MAX_ELEMS", str(1 << 23)))
+    # budget sized post-row-gather (the z coordinate is no longer
+    # gathered and boundary fetches are compact): 2^24 keeps the k=15
+    # witness commit in ONE dispatch and k=16 in two
+    max_elems = int(os.environ.get("PST_MSM_MAX_ELEMS", str(1 << 24)))
     split = b_pad
     while split > 1 and windows * split * n > max_elems:
         split //= 2
