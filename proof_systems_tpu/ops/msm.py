@@ -265,7 +265,6 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     else:
         order = jnp.argsort(digits, axis=-1)
         sdig = jnp.take_along_axis(digits, order, axis=-1)
-    shape4 = (limb.NLIMBS, windows, b, n)
     NL = limb.NLIMBS
     if isinstance(points, JPoint) or (
         hasattr(points, "ndim") and not isinstance(points, APoint)
@@ -300,23 +299,26 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
         pz = limb.select(gt[2 * NL] != 0, curve.F.zeros((windows, b, n)), one)
         jac = JPoint(gt[:NL], gt[NL:2 * NL], pz)
     else:
-        if points.x.ndim == 3:  # per-batch point sets
-            px = jnp.take_along_axis(
-                jnp.broadcast_to(points.x[:, None], shape4), order[None], axis=-1
+        # unscaled affine bases (verifier's batched check, vk builds):
+        # the same element-major row-gather, with the infinity flag from
+        # the APoint mask
+        infbit = points.inf.astype(points.x.dtype)
+        xy = jnp.concatenate([points.x, points.y, infbit[None]], axis=0)
+        if xy.ndim == 2:  # (2L+1, n) shared across windows and batch
+            sem = jnp.broadcast_to(
+                jnp.transpose(xy, (1, 0))[None, None],
+                (windows, b, n, 2 * NL + 1),
             )
-            py = jnp.take_along_axis(
-                jnp.broadcast_to(points.y[:, None], shape4), order[None], axis=-1
+        else:  # (2L+1, b, n) per-batch point sets
+            sem = jnp.broadcast_to(
+                jnp.transpose(xy, (1, 2, 0))[None],
+                (windows, b, n, 2 * NL + 1),
             )
-            pinf = jnp.take_along_axis(
-                jnp.broadcast_to(points.inf[None], (windows, b, n)), order, axis=-1
-            )
-        else:
-            px = jnp.take(points.x, order, axis=1)  # (16, W, b, n)
-            py = jnp.take(points.y, order, axis=1)
-            pinf = points.inf[order]  # (W, b, n)
+        g = jnp.take_along_axis(sem, order[..., None], axis=2)
+        gt = jnp.transpose(g, (3, 0, 1, 2))
         one = curve.F.one_mont((windows, b, n))
-        pz = limb.select(pinf, curve.F.zeros((windows, b, n)), one)
-        jac = JPoint(px, py, pz)
+        pz = limb.select(gt[2 * NL] != 0, curve.F.zeros((windows, b, n)), one)
+        jac = JPoint(gt[:NL], gt[NL:2 * NL], pz)
 
     ident = curve.inf_jacobian((windows, b, 1))
     # ends[d] = #elements with digit <= d: binary search on the sorted
