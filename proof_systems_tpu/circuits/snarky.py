@@ -167,11 +167,24 @@ class Runner:
         single-use vars so finalize()'s var cycles don't overwrite it."""
         base = len(self.gates)
         row0 = gates[0].wires[0].row  # col 0 is identity in our creators
+        if gates[0].wires[0] != Wire(row0, 0):
+            raise ValueError(
+                "_gadget_rows: gates[0].wires[0] must be the identity "
+                f"self-reference Wire(row0, 0); got {gates[0].wires[0]!r} — "
+                "a creator whose first gate wires col 0 elsewhere would "
+                "shift every translated wire"
+            )
         for k, gate in enumerate(gates):
             row = base + k
             wires = tuple(
                 Wire(w.row - row0 + base, w.col) for w in gate.wires
             )
+            for w in wires:
+                if not (base <= w.row < base + len(gates)):
+                    raise ValueError(
+                        f"_gadget_rows: translated wire {w!r} escapes the "
+                        f"gadget's row span [{base}, {base + len(gates)})"
+                    )
             self.gates.append(CircuitGate(gate.typ, wires, list(gate.coeffs)))
             filled = list(cells[k]) + [None] * (COLUMNS - len(cells[k]))
             self.rows.append(filled)

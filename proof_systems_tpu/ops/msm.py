@@ -247,6 +247,12 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
              compacted IPA rounds, where L and R address complementary
              halves of the basis).
     Returns JPoint with batch shape (W, b): window w partial sum of MSM b.
+
+    PRECONDITION (JPoint bases): a JPoint `points` argument MUST be
+    affine-encoded — z in {0, 1·R} per point (what scale_basis /
+    elem_major_basis produce). The row-gather path reconstructs z from a
+    one-bit infinity flag instead of gathering it, so a general Jacobian
+    basis (arbitrary z) would silently produce wrong points.
     """
     b, n = scalars.shape[1], scalars.shape[2]
     windows = -(-255 // c)
@@ -257,8 +263,12 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     if c + idx_bits <= 32:
         # single packed u32 sort: (digit << idx_bits) | position sorts
         # 6x faster than argsort's key+iota pair on TPU (measured), and
-        # reproduces the stable order exactly
-        packed = (digits << idx_bits) | jnp.arange(n, dtype=jnp.uint32)
+        # reproduces the stable order exactly. Build in uint32 explicitly:
+        # int32|uint32 promotes to SIGNED int32 (x64 off), and a digit top
+        # bit in the sign position would sort those entries first.
+        packed = (digits.astype(jnp.uint32) << idx_bits) | jnp.arange(
+            n, dtype=jnp.uint32
+        )
         spacked = jnp.sort(packed, axis=-1)
         order = (spacked & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
         sdig = (spacked >> idx_bits).astype(digits.dtype)

@@ -329,6 +329,35 @@ def _open_rounds_host(
     return a0, b0, g0
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _accum_sg_scalars(F, rounds, chal_mont, w_mont, acc):
+    """acc += w · s on device, where s = b_poly_coefficients(chals):
+    s_i = Π_{j: bit_j(i)=1} chal[rounds-1-j]. The mask is built in
+    rounds masked mont_muls over the full (16, n) array — the host
+    bigint version was O(n) Python per proof and dominated batch
+    verification at k>=15 (ipa.rs:296 s-vector).
+
+    chal_mont: (16, rounds) Montgomery challenges; w_mont: (16, 1)
+    Montgomery weight sg_rand_base_i; acc: (16, n) Montgomery."""
+    n = acc.shape[-1]
+    i_arr = jnp.arange(n, dtype=jnp.uint32)
+    mask = jnp.broadcast_to(w_mont, (limb.NLIMBS, n))
+
+    def body(j, m):
+        cj = jax.lax.dynamic_slice_in_dim(chal_mont, j, 1, axis=1)
+        sh = (rounds - 1 - j).astype(jnp.uint32)
+        bit = ((i_arr >> sh) & 1).astype(jnp.bool_)
+        return limb.select(bit, limb.mont_mul(F, m, cj), m)
+
+    mask = jax.lax.fori_loop(0, rounds, body, mask)
+    return limb.add(F, acc, mask)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _from_mont_j(F, acc):
+    return limb.from_mont(F, acc)
+
+
 def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
     """Batched IPA verification (ipa.rs:195-385): one MSM == identity."""
     curve: CurveParams = srs.curve
@@ -339,8 +368,13 @@ def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
     padded = 1 << rounds
     assert padded == n
 
-    points: list[AffinePoint] = [srs.h] + list(srs.g)
-    scalars: list[int] = [0] * (padded + 1)
+    # scalars for the fixed [h] ++ g prefix: h's stays a host int; the
+    # g-basis scalars (the per-proof s-vectors) accumulate ON DEVICE
+    suffix_points: list[AffinePoint] = []
+    suffix_scalars: list[int] = []
+    h_scalar = 0
+    F = limb.device_field(f)
+    acc = F.zeros((padded,))
 
     rand_base = rng.field(f.p)
     sg_rand_base = rng.field(f.p)
@@ -363,36 +397,42 @@ def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
             b0 = (b0 + scale * b_poly(f, chal, e)) % f.p
             scale = scale * bp.evalscale % f.p
 
-        s = b_poly_coefficients(f, chal)
+        acc = _accum_sg_scalars(
+            F,
+            rounds,
+            F.pack_mont(chal, shape=(rounds,)),
+            F.pack_mont([sg_rand_base_i], shape=(1,)),
+            acc,
+        )
 
         neg_rand_base_i = (-rand_base_i) % f.p
-        points.append(bp.opening.sg)
-        scalars.append((neg_rand_base_i * bp.opening.z1 - sg_rand_base_i) % f.p)
-        for i, si in enumerate(s):
-            scalars[i + 1] = (scalars[i + 1] + sg_rand_base_i * si) % f.p
-        scalars[0] = (scalars[0] - rand_base_i * bp.opening.z2) % f.p
-        points.append(u_base)
-        scalars.append(neg_rand_base_i * bp.opening.z1 * b0 % f.p)
+        suffix_points.append(bp.opening.sg)
+        suffix_scalars.append(
+            (neg_rand_base_i * bp.opening.z1 - sg_rand_base_i) % f.p
+        )
+        h_scalar = (h_scalar - rand_base_i * bp.opening.z2) % f.p
+        suffix_points.append(u_base)
+        suffix_scalars.append(neg_rand_base_i * bp.opening.z1 * b0 % f.p)
 
         rand_base_i_c_i = c * rand_base_i % f.p
         for (l, r), (u_inv, u) in zip(bp.opening.lr, zip(chal_inv, chal)):
-            points.append(l)
-            scalars.append(rand_base_i_c_i * u_inv % f.p)
-            points.append(r)
-            scalars.append(rand_base_i_c_i * u % f.p)
+            suffix_points.append(l)
+            suffix_scalars.append(rand_base_i_c_i * u_inv % f.p)
+            suffix_points.append(r)
+            suffix_scalars.append(rand_base_i_c_i * u % f.p)
 
         # evaluation commitments: Σ polyscale^i chunks with eval recombination
         xi_i = 1
         for ev in bp.evaluations:
             for ch in ev.commitment.chunks:
-                points.append(ch)
-                scalars.append(rand_base_i_c_i * xi_i % f.p)
+                suffix_points.append(ch)
+                suffix_scalars.append(rand_base_i_c_i * xi_i % f.p)
                 xi_i = xi_i * bp.polyscale % f.p
 
-        points.append(u_base)
-        scalars.append(rand_base_i_c_i * bp.combined_inner_product % f.p)
-        points.append(bp.opening.delta)
-        scalars.append(rand_base_i)
+        suffix_points.append(u_base)
+        suffix_scalars.append(rand_base_i_c_i * bp.combined_inner_product % f.p)
+        suffix_points.append(bp.opening.delta)
+        suffix_scalars.append(rand_base_i)
 
         rand_base_i = rand_base_i * rand_base % f.p
         sg_rand_base_i = sg_rand_base_i * sg_rand_base % f.p
@@ -404,13 +444,19 @@ def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
     base = getattr(srs, "_verify_base_dev", None)
     if base is None:
         base = srs._verify_base_dev = dc.pack_affine([srs.h] + list(srs.g))
-    suffix = dc.pack_affine(points[padded + 1 :])
+    suffix = dc.pack_affine(suffix_points)
     allpts = APoint(
         jnp.concatenate([base.x, suffix.x], axis=-1),
         jnp.concatenate([base.y, suffix.y], axis=-1),
         jnp.concatenate([base.inf, suffix.inf], axis=-1),
     )
-    res = msm.msm_host_scalars(curve, [scalars], allpts)[0]
+    g_scal = _from_mont_j(F, acc)  # (16, n) canonical standard form
+    head = jnp.asarray(limb.ints_to_limbs([h_scalar], shape=(1,)))
+    suf_s = jnp.asarray(
+        limb.ints_to_limbs(suffix_scalars, shape=(len(suffix_scalars),))
+    )
+    all_scal = jnp.concatenate([head, g_scal, suf_s], axis=-1)[:, None, :]
+    res = msm.msm(curve, all_scal, allpts)[0]
     return res is None
 
 

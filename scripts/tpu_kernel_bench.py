@@ -55,12 +55,25 @@ def main():
     rng = random.Random(7)
 
     def timeit(name, fn, reps=20):
-        r = jax.block_until_ready(fn())  # compile + 1st
+        # axon's block_until_ready does NOT reliably wait (CLAUDE.md);
+        # only a device_get round trip is trustworthy. Subtract the
+        # per-fetch floor measured on a no-op fetch.
+        def sync(res):
+            # fetch ONE element (a device-side slice): forces the
+            # computation without pulling the whole buffer through the
+            # tunnel (64 MB at the mont shape = ~70 ms of pure fetch)
+            x = jax.tree_util.tree_leaves(res)[0]
+            jax.device_get(x[tuple(0 for _ in x.shape)])
+
+        sync(fn())  # compile + 1st
+        for _ in range(3):  # warm steady state
+            sync(fn())
         t0 = time.time()
         for _ in range(reps):
-            r = jax.block_until_ready(fn())
+            r = fn()
+        sync(r)
         dt = (time.time() - t0) / reps
-        print(f"{name:42s} {dt*1e3:9.3f} ms", flush=True)
+        print(f"{name:42s} {dt*1e3:9.3f} ms (queued x{reps} + sync)", flush=True)
         return dt
 
     only = os.environ.get("PST_ONLY")

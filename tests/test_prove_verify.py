@@ -88,3 +88,29 @@ def test_chunked_proving():
     proof = create_proof(index, witness, TestRng(70))
     assert len(proof.commitments.w_comm[0].chunks) == 2
     assert verify(index.verifier_index(), proof, [], TestRng(71))
+
+
+def test_packed_witness_parity():
+    """The pre-packed (16, 15, rows) Montgomery witness path (what
+    bench.py measures) must produce byte-identical proofs to the host
+    list-column path: same zk-row rng draw order, same padding."""
+    from proof_systems_tpu.ops import limb
+    from proof_systems_tpu.serialization import serialize_proof
+
+    index = make_index(22, 32)
+    host_witness = bench_witness(22)
+
+    proof_list = create_proof(index, host_witness, TestRng(90))
+
+    F = limb.device_field(Fp)
+    rows = len(host_witness[0])
+    packed = F.pack_mont(
+        [v for col in host_witness for v in col],
+        shape=(len(host_witness), rows),
+    )
+    proof_packed = create_proof(index, packed, TestRng(90))
+
+    assert serialize_proof(Vesta, proof_list) == serialize_proof(
+        Vesta, proof_packed
+    )
+    assert verify(index.verifier_index(), proof_packed, [], TestRng(91))

@@ -141,3 +141,64 @@ def test_proof_golden_bytes():
         "proof wire format changed; if intentional, regenerate with "
         "PST_REGEN_FIXTURES=1 and note the break in the commit message"
     )
+
+
+def proof_size_model(rounds: int, chunks: int = 1) -> int:
+    """Closed-form byte count of serialize_proof for a lookup-free,
+    public-input-free proof, derived field-by-field from the CURRENT
+    kimchi/src/proof.rs:50-149 layout under rmp-serde compact rules:
+      struct -> fixarray of fields, Option -> nil|value,
+      point -> bin(33) = 35 B, field -> bin(32) = 34 B.
+
+    Delta vs the reference README's published 4,947/5,018 B
+    (README.md:52-55, "at the time of this writing"): +286 B at k=15.
+    The published numbers correspond to a HISTORICAL struct; itemized
+    against the current layout the additions since then include:
+      +71  public evals (public: Option<Evals> = Some, 1 chunk/side)
+      +20  6 optional-gate selector nils + lookup_aggregation/table
+           nils + [Option; 5] lookup_sorted + runtime/lookup-selector
+           nils (all absent pre-zk-gates)
+      + 2  ProofEvaluations field count passing 15 (fixarray -> 0xdc)
+      +~88 chunked PointEvaluations (each side Vec<F>, +2/evaluation
+           x 44 evaluations, vs the old scalar form)
+    with the residual (~105 B) attributable to pre-berkeley PolyComm
+    {unshifted, shifted} and evals-shape changes whose exact historical
+    layout is not recoverable here (no rustc, no reference git history).
+    The model below matches the CURRENT proof.rs layout exactly, byte
+    for byte, which is the verifiable claim that matters for parity.
+    """
+    pe = 3 + 68 * chunks  # PointEvaluations{zeta: Vec, zeta_omega: Vec}
+    pc = lambda m: 2 + 35 * m  # PolyComm{elems: Vec<point>}
+    arr = lambda n: 1 if n < 16 else 3
+
+    commitments = 1 + 1 + 15 * pc(chunks) + pc(chunks) + pc(7 * chunks) + 1
+    opening = 1 + arr(rounds) + rounds * (1 + 70) + 35 + 34 + 34 + 35
+    evals = (
+        arr(26)      # 26-field struct header (0xdc — fixarray tops at 15)
+        + pe         # public: Some
+        + 1 + 15 * pe  # w
+        + pe         # z
+        + 1 + 6 * pe   # s
+        + 1 + 15 * pe  # coefficients
+        + 6 * pe     # the six always-present selectors
+        + 8          # 6 optional-gate selectors + lookup_aggregation/table nils
+        + 1 + 5      # lookup_sorted [Option; 5]
+        + 6          # runtime table + 5 lookup-selector nils
+    )
+    return 1 + commitments + opening + evals + 34 + 1
+
+
+def test_proof_size_model():
+    """Modeled size == serialized size (VERDICT r4 item 3: localize the
+    proof-size delta). rounds=5 for the 2^5 fixture circuit."""
+    index = make_index(22, 32)
+    proof = create_proof(index, bench_witness(22), TestRng(5))
+    raw = serialize_proof(Vesta, proof)
+    assert len(raw) == proof_size_model(rounds=5), (
+        len(raw),
+        proof_size_model(rounds=5),
+    )
+    # the k=15/16 bench sizes recorded in BENCH_RECORDS.md follow the
+    # same model exactly: 15 rounds -> 5,233 B, 16 rounds -> 5,306 B
+    assert proof_size_model(rounds=15) == 5233
+    assert proof_size_model(rounds=16) == 5306
