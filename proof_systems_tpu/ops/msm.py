@@ -276,59 +276,61 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
         order = jnp.argsort(digits, axis=-1)
         sdig = jnp.take_along_axis(digits, order, axis=-1)
     NL = limb.NLIMBS
-    if isinstance(points, JPoint) or (
-        hasattr(points, "ndim") and not isinstance(points, APoint)
-    ):
-        # pre-scaled per-window bases: (16, W, n) shared across b,
-        # (16, W, b, n) per-batch, or an ALREADY element-major
-        # (W, b, n, 2L+1) row array (elem_major_basis — the fused IPA
-        # builds its per-round compact bases in row form directly).
-        # TPU gathers of 4-byte elements along the minor axis of a
-        # limb-major array lower to serialized per-index loops (~9x
-        # slower, measured); instead gather CONTIGUOUS 132-byte
-        # element-major rows (x||y limbs + an infinity bit, limbs last)
-        # and transpose back. z is in affine encoding {0, 1·R}
-        # (scale_basis normalizes), so it carries exactly one bit —
-        # riding it in the row replaces a full 16-limb z gather.
-        if isinstance(points, JPoint):
-            infbit = limb.is_zero(curve.F, points.z).astype(points.x.dtype)
-            xy = jnp.concatenate([points.x, points.y, infbit[None]], axis=0)
-            if xy.ndim == 3:
-                sem = jnp.broadcast_to(
-                    jnp.transpose(xy, (1, 2, 0))[:, None],
-                    (windows, b, n, 2 * NL + 1),
-                )
-            else:
-                sem = jnp.transpose(xy, (1, 2, 3, 0))
-        else:
-            sem = points
-            assert sem.shape == (windows, b, n, 2 * NL + 1), sem.shape
-        g = jnp.take_along_axis(sem, order[..., None], axis=2)
-        gt = jnp.transpose(g, (3, 0, 1, 2))  # (2L+1, W, b, n)
-        one = curve.F.one_mont((windows, b, n))
-        pz = limb.select(gt[2 * NL] != 0, curve.F.zeros((windows, b, n)), one)
-        jac = JPoint(gt[:NL], gt[NL:2 * NL], pz)
+    H = NL // 2
+    # Row gathers: sources are flattened to a 2D (R, L+1) table of
+    # u32-PACKED element-major rows (pack16(x) ++ pack16(y) ++ inf bit,
+    # 68 B) and fetched with ONE fancy-index gather of GLOBAL row
+    # indices. Two measured TPU facts drive this shape (k=15 round MSM):
+    #   - take_along_axis on a broadcast (W, b, n, rows) source is ~5x
+    #     slower than plain table[idx] fancy indexing on a 2D table
+    #     (40 ms vs 7-17 ms for the same output volume);
+    #   - gather time scales with bytes/row (rows=33: 40 ms, rows=17:
+    #     16 ms), so limbs ride packed and unpack after the gather.
+    order32 = order.astype(jnp.int32)
+    if isinstance(points, tuple) and not isinstance(points, (JPoint, APoint)):
+        # pre-composed global indices: (table (R, L+1), row_idx (W, b, n))
+        # — the fused IPA rounds compose their compact per-round basis
+        # selection with the sort order so only ONE row gather happens.
+        table, row_idx = points
+        g_idx = jnp.take_along_axis(row_idx.astype(jnp.int32), order32, axis=-1)
+    elif isinstance(points, JPoint):
+        infbit = limb.is_zero(curve.F, points.z).astype(points.x.dtype)
+        rows = jnp.concatenate(
+            [pack16(points.x), pack16(points.y), infbit[None]], axis=0
+        )
+        if rows.ndim == 3:  # (L+1, W, n): per-window rows shared across b
+            table = jnp.transpose(rows, (1, 2, 0)).reshape(windows * n, NL + 1)
+            g_idx = order32 + (jnp.arange(windows, dtype=jnp.int32) * n)[
+                :, None, None
+            ]
+        else:  # (L+1, W, b, n): per-window per-batch rows
+            table = jnp.transpose(rows, (1, 2, 3, 0)).reshape(
+                windows * b * n, NL + 1
+            )
+            offs = (
+                jnp.arange(windows, dtype=jnp.int32)[:, None] * b
+                + jnp.arange(b, dtype=jnp.int32)[None, :]
+            ) * n
+            g_idx = order32 + offs[:, :, None]
     else:
-        # unscaled affine bases (verifier's batched check, vk builds):
-        # the same element-major row-gather, with the infinity flag from
-        # the APoint mask
+        # unscaled affine bases (verifier's batched check, vk builds)
         infbit = points.inf.astype(points.x.dtype)
-        xy = jnp.concatenate([points.x, points.y, infbit[None]], axis=0)
-        if xy.ndim == 2:  # (2L+1, n) shared across windows and batch
-            sem = jnp.broadcast_to(
-                jnp.transpose(xy, (1, 0))[None, None],
-                (windows, b, n, 2 * NL + 1),
-            )
-        else:  # (2L+1, b, n) per-batch point sets
-            sem = jnp.broadcast_to(
-                jnp.transpose(xy, (1, 2, 0))[None],
-                (windows, b, n, 2 * NL + 1),
-            )
-        g = jnp.take_along_axis(sem, order[..., None], axis=2)
-        gt = jnp.transpose(g, (3, 0, 1, 2))
-        one = curve.F.one_mont((windows, b, n))
-        pz = limb.select(gt[2 * NL] != 0, curve.F.zeros((windows, b, n)), one)
-        jac = JPoint(gt[:NL], gt[NL:2 * NL], pz)
+        rows = jnp.concatenate(
+            [pack16(points.x), pack16(points.y), infbit[None]], axis=0
+        )
+        if rows.ndim == 2:  # (L+1, n) shared across windows and batch
+            table = jnp.transpose(rows, (1, 0))
+            g_idx = order32
+        else:  # (L+1, b, n) per-batch point sets
+            table = jnp.transpose(rows, (1, 2, 0)).reshape(b * n, NL + 1)
+            g_idx = order32 + (jnp.arange(b, dtype=jnp.int32) * n)[
+                None, :, None
+            ]
+    g = table[g_idx]  # (W, b, n, L+1)
+    gt = jnp.transpose(g, (3, 0, 1, 2))  # (L+1, W, b, n)
+    one = curve.F.one_mont((windows, b, n))
+    pz = limb.select(gt[NL] != 0, curve.F.zeros((windows, b, n)), one)
+    jac = JPoint(unpack16(gt[:H]), unpack16(gt[H:NL]), pz)
 
     ident = curve.inf_jacobian((windows, b, 1))
     # ends[d] = #elements with digit <= d: binary search on the sorted
@@ -359,19 +361,34 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
             curve.F, jac.x, jac.y, jac.z, mixed=True
         )
         NL = limb.NLIMBS
-        qcat = jnp.transpose(jnp.concatenate([qx, qy, qz], axis=0), (1, 2, 3, 0))
-        ecat = jnp.transpose(jnp.concatenate([ex, ey, ez], axis=0), (1, 2, 3, 0))
+        # boundary rows gathered PACKED (96 B: x||y||z u32-paired) from a
+        # flat (W*b*len, 24) table — same fancy-index fast path as above
+        nq = qx.shape[-1]
+        ne = ex.shape[-1]
+        qtab = jnp.transpose(
+            jnp.concatenate([pack16(qx), pack16(qy), pack16(qz)], axis=0),
+            (1, 2, 3, 0),
+        ).reshape(windows * b * nq, 3 * H)
+        etab = jnp.transpose(
+            jnp.concatenate([pack16(ex), pack16(ey), pack16(ez)], axis=0),
+            (1, 2, 3, 0),
+        ).reshape(windows * b * ne, 3 * H)
         t_all = jnp.concatenate([ends, idx_lo], axis=-1)  # (W, b, 2D)
-        j_all = jnp.maximum(t_all, 1) - 1
-        gj = jnp.transpose(
-            jnp.take_along_axis(qcat, j_all[..., None], axis=2), (3, 0, 1, 2)
+        j_all = (jnp.maximum(t_all, 1) - 1).astype(jnp.int32)
+        wb_offs = (
+            jnp.arange(windows, dtype=jnp.int32)[:, None] * b
+            + jnp.arange(b, dtype=jnp.int32)[None, :]
         )
+        gj = jnp.transpose(
+            qtab[j_all + (wb_offs * nq)[:, :, None]], (3, 0, 1, 2)
+        )  # (24, W, b, 2D)
         hl = jnp.transpose(
-            jnp.take_along_axis(ecat, (j_all // C)[..., None], axis=2), (3, 0, 1, 2)
+            etab[j_all // C + (wb_offs * ne)[:, :, None]], (3, 0, 1, 2)
         )
         x, y, z = pallas_field.jacobian_add(
-            curve.F, hl[:NL], hl[NL:2 * NL], hl[2 * NL:],
-            gj[:NL], gj[NL:2 * NL], gj[2 * NL:],
+            curve.F,
+            unpack16(hl[:H]), unpack16(hl[H : 2 * H]), unpack16(hl[2 * H :]),
+            unpack16(gj[:H]), unpack16(gj[H : 2 * H]), unpack16(gj[2 * H :]),
         )
         z = limb.select(t_all == 0, jnp.zeros_like(z), z)
         D = nbuckets
@@ -397,12 +414,33 @@ def _window_sums_body(curve: DeviceCurve, scalars: jax.Array, points: APoint, c:
     return JPoint(win.x[..., 0], win.y[..., 0], win.z[..., 0])
 
 
+def pack16(a: jax.Array) -> jax.Array:
+    """(16, ...) canonical 16-bit limbs -> (8, ...) u32-packed pairs.
+
+    Halves every gathered row's byte count: the TPU row gather is the
+    dominant MSM cost and scales with bytes fetched per index."""
+    return a[0::2] | (a[1::2] << 16)
+
+
+def unpack16(p: jax.Array) -> jax.Array:
+    """(8, ...) u32-packed pairs -> (16, ...) 16-bit limbs."""
+    lo = p & jnp.uint32(0xFFFF)
+    hi = p >> 16
+    return jnp.stack([lo, hi], axis=1).reshape(
+        2 * p.shape[0], *p.shape[1:]
+    )
+
+
 def elem_major_basis(F, pts: JPoint) -> jax.Array:
-    """(16, W, n) scaled JPoint basis -> (W, n, 2L+1) element-major rows
-    (x limbs ++ y limbs ++ infinity bit) for fast row gathers."""
+    """(16, W, n) scaled JPoint basis -> (W, n, L+1) element-major PACKED
+    rows (u32-packed x ++ u32-packed y ++ infinity bit, 68 B each) for
+    fast row gathers. Requires affine encoding (z in {0, 1·R})."""
     infbit = limb.is_zero(F, pts.z).astype(pts.x.dtype)
     return jnp.transpose(
-        jnp.concatenate([pts.x, pts.y, infbit[None]], axis=0), (1, 2, 0)
+        jnp.concatenate(
+            [pack16(pts.x), pack16(pts.y), infbit[None]], axis=0
+        ),
+        (1, 2, 0),
     )
 
 
@@ -460,8 +498,20 @@ def msm(
     # of compiled shapes serve every caller. PST_MSM_MIN_B can force the
     # witness/quotient/z commits onto ONE shape (fewer per-process traces)
     # at the cost of padded-row device work — measured at k=11 the padding
-    # cost (+0.7 s steady) outweighs the warmup saving, so default 1.
-    b_pad = max(1, int(os.environ.get("PST_MSM_MIN_B", "1")))
+    # cost (+0.7 s steady) outweighs the warmup saving for b>=2.
+    #
+    # The SCALED path's minimum is 2, not 1: the fused Pippenger graph
+    # MISCOMPILES at (b=1, c=10, n=2^15+1, scaled bases) on v5e/axon —
+    # every stage is bit-correct when jitted in isolation on the same
+    # inputs, but the fused graph returns wrong bucket values (b=2 same
+    # data, c=9 same n, n=2^12+1 same c, and the unscaled-basis verifier
+    # MSM at b=1 are all correct; optimization_barrier at either end of
+    # the suspect region does not fix it). Padding one all-zero scalar
+    # row dodges the trigger for ~40 ms of extra scan work on the b=1
+    # commits (z, sg); every proof is end-to-end verified against this
+    # workaround by tests + BENCH_VERIFY.
+    b_min = 2 if scaled is not None else 1
+    b_pad = max(b_min, int(os.environ.get("PST_MSM_MIN_B", "1")))
     while b_pad < b:
         b_pad *= 2
     if b_pad != b:

@@ -22,6 +22,7 @@ algebra, and the final window recombinations stay on the host.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -507,11 +508,19 @@ def _ipa_all_rounds(
     lr0 = jnp.zeros((rounds, 33, 2), dtype=jnp.uint32)
 
     # per-proof U base scaled to the rounds' window layout (g and h come
-    # pre-scaled from the SRS cache)
+    # pre-scaled from the SRS cache). The packed element-major rows of
+    # [g ++ h ++ u] form ONE flat (W*(n+2), L+1) table; each round only
+    # composes int32 indices (compact-half selection ∘ sort order) so a
+    # single row gather feeds the MSM.
     W_half = gh_scaled_half.x.shape[1]
     u_scaled = msm.scale_basis(curve, u_dev, c_half, W_half)  # (16, W, 1)
-    sem_gh = msm.elem_major_basis(F, gh_scaled_half)  # (W, n+1, 2L+1)
-    sem_u = msm.elem_major_basis(F, u_scaled)  # (W, 1, 2L+1)
+    rows_gh = msm.elem_major_basis(F, gh_scaled_half)  # (W, n+1, L+1)
+    rows_u = msm.elem_major_basis(F, u_scaled)  # (W, 1, L+1)
+    table = jnp.concatenate([rows_gh, rows_u], axis=1).reshape(
+        W_half * (n + 2), limb.NLIMBS + 1
+    )
+    hu_tail = jnp.asarray([n, n + 1], dtype=jnp.uint32)
+    row_base = (jnp.arange(W_half, dtype=jnp.int32) * (n + 2))[:, None]
 
     def round_body(k, carry):
         a, b, mask, state, lr_acc = carry
@@ -547,23 +556,14 @@ def _ipa_all_rounds(
         )  # (16, 2, 1)
         scal = jnp.concatenate([body_s, rand_k, ips], axis=-1)  # (16, 2, half+2)
 
-        # scaled per-window bases gathered per batch row (g[idx] ++ h ++
-        # u), assembled as ELEMENT-MAJOR 132-byte rows — minor-axis
-        # 4-byte gathers from the limb-major coords serialized on TPU
-        # (~128 ms/round at k=15)
-        def pts_sem(idx):
-            return jnp.concatenate(
-                [
-                    jnp.take(sem_gh[:, :n], idx, axis=1),  # (W, half, 2L+1)
-                    sem_gh[:, n : n + 1],  # h
-                    sem_u,  # u
-                ],
-                axis=1,
-            )
+        # compact per-round bases (g[idx] ++ h ++ u) as GLOBAL row
+        # indices into the flat table — composed with the sort order
+        # inside _window_sums_body so only one row gather runs
+        ridx_L = jnp.concatenate([idx_L, hu_tail]).astype(jnp.int32)[None, :] + row_base
+        ridx_R = jnp.concatenate([idx_R, hu_tail]).astype(jnp.int32)[None, :] + row_base
+        ridx = jnp.stack([ridx_L, ridx_R], axis=1)  # (W, 2, half+2)
 
-        pts = jnp.stack([pts_sem(idx_L), pts_sem(idx_R)], axis=1)
-
-        wins = msm._window_sums_body(curve, scal, pts, c_half)
+        wins = msm._window_sums_body(curve, scal, (table, ridx), c_half)
         comb = msm.sum_windows(curve, wins)
         aff = curve.to_affine(comb)
         xs = limb.select(aff.inf, F.zeros((2,)), aff.x)
@@ -607,6 +607,228 @@ def _ipa_all_rounds(
     return lr_acc, g0_packed, a[:, 0:1], b[:, 0:1]
 
 
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _ipa_fold_step(
+    F, Fq, curve, c, endo_r, sponge_rounds,
+    a, b, gx, gy, ginf, hu_x, hu_y, hu_inf, state, rand_pair,
+    rc_flat, mds_flat, endo_q_m,
+):
+    """ONE explicit basis-folding IPA round at full size m (ipa.rs:845):
+
+        L = <a_hi, g_lo> + rand_l·H + <a_hi, b_lo>·U
+        R = <a_lo, g_hi> + rand_r·H + <a_lo, b_hi>·U
+        u = endo(challenge);  a' = a_lo + u⁻¹ a_hi;  b' = b_lo + u b_hi
+        g' = g_lo + [u] g_hi
+
+    Folding pays one [u]-scalar-multiplication pass over m/2 points but
+    HALVES every subsequent round's MSM/sort/gather size — at k>=13 the
+    geometric shrink beats the masked fixed-shape design (measured ~47
+    ms/compact-round at k=15 that folding reduces to a ~2x total).
+
+    [u]·P runs as the 64-iteration ENDO LADDER on the 128-bit challenge
+    bits (acc = 2·acc + s·(bit ? φP : P), φ = x·endo_q — exactly
+    ScalarChallenge.to_field's (a, b) recurrence lifted to points), i.e.
+    ~2x cheaper than a 255-bit double-and-add.
+
+    Returns (a', b', g'x, g'y, g'inf, state', lr_pack (33, 2))."""
+    from ..ops import pallas_field
+
+    Fb = curve.F  # base field (coordinates)
+    m = a.shape[-1]
+    half = m // 2
+    a_lo, a_hi = a[:, :half], a[:, half:]
+    b_lo, b_hi = b[:, :half], b[:, half:]
+    ip_l = ntt.dot_mod(F, a_hi, b_lo)
+    ip_r = ntt.dot_mod(F, a_lo, b_hi)
+
+    body_s = limb.from_mont(F, jnp.stack([a_hi, a_lo], axis=1))  # (16,2,half)
+    ips = limb.from_mont(F, jnp.stack([ip_l, ip_r], axis=1))  # (16,2,1)
+    scal = jnp.concatenate([body_s, rand_pair, ips], axis=-1)  # (16,2,half+2)
+
+    pts = APoint(
+        jnp.stack(
+            [
+                jnp.concatenate([gx[:, :half], hu_x], axis=-1),
+                jnp.concatenate([gx[:, half:], hu_x], axis=-1),
+            ],
+            axis=1,
+        ),
+        jnp.stack(
+            [
+                jnp.concatenate([gy[:, :half], hu_y], axis=-1),
+                jnp.concatenate([gy[:, half:], hu_y], axis=-1),
+            ],
+            axis=1,
+        ),
+        jnp.stack(
+            [
+                jnp.concatenate([ginf[:half], hu_inf], axis=-1),
+                jnp.concatenate([ginf[half:], hu_inf], axis=-1),
+            ],
+            axis=0,
+        ),
+    )
+    wins = msm._window_sums_body(curve, scal, pts, c)
+    total = msm._combine_windows_body(curve, c, wins)  # (16, 2)
+    aff = curve.to_affine(total)
+    xs = limb.select(aff.inf, Fb.zeros((2,)), aff.x)
+    ys = limb.select(aff.inf, Fb.zeros((2,)), aff.y)
+    lr_pack = jnp.concatenate([xs, ys, aff.inf.astype(jnp.uint32)[None]], axis=0)
+
+    st, chal_limbs = pallas_field.sponge_squeeze2_fused(
+        Fq, sponge_rounds, state, xs, ys, rc_flat, mds_flat
+    )
+    bits = pallas_field.bits128(chal_limbs)
+    u_arr, u_inv_arr = pallas_field.endo_inv_fused(F, endo_r, bits)
+
+    a2 = limb.add(F, a_lo, limb.mont_mul(F, a_hi, u_inv_arr))
+    b2 = limb.add(F, b_lo, limb.mont_mul(F, b_hi, u_arr))
+
+    # g' = g_lo + [u] g_hi via the endo ladder over the challenge bits
+    g_hi_x, g_hi_y, g_hi_inf = gx[:, half:], gy[:, half:], ginf[half:]
+    phix = limb.mont_mul(Fb, g_hi_x, endo_q_m)
+    zhi = limb.select(g_hi_inf, Fb.zeros((half,)), Fb.one_mont((half,)))
+    negy = limb.neg(Fb, g_hi_y)
+    acc = curve.double(
+        curve.add(JPoint(g_hi_x, g_hi_y, zhi), JPoint(phix, g_hi_y, zhi))
+    )
+
+    def ladder(i, acc):
+        j = jnp.int32(63) - i
+        blo = jax.lax.dynamic_index_in_dim(bits, 2 * j, keepdims=False)
+        bhi = jax.lax.dynamic_index_in_dim(bits, 2 * j + 1, keepdims=False)
+        qx = limb.select(bhi == 1, phix, g_hi_x)
+        qy = limb.select(blo == 1, g_hi_y, negy)
+        return curve.add(curve.double(acc), JPoint(qx, qy, zhi))
+
+    uhi = jax.lax.fori_loop(0, 64, ladder, acc)
+    zlo = limb.select(ginf[:half], Fb.zeros((half,)), Fb.one_mont((half,)))
+    g2 = curve.to_affine(
+        curve.add(uhi, JPoint(gx[:, :half], gy[:, :half], zlo))
+    )
+    return a2, b2, g2.x, g2.y, g2.inf, st, lr_pack
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _ipa_tail_rounds(
+    F, Fq, curve, rounds, c, endo_r, sponge_rounds,
+    a, b, gx, gy, ginf, hu_x, hu_y, hu_inf, rand_lr_all, state0,
+    rc_flat, mds_flat,
+):
+    """Masked-basis fixed-shape rounds over a FOLDED (unscaled) basis of
+    size M — the tail of the hybrid fold design. Identical round math to
+    _ipa_all_rounds, but the basis is a single unscaled copy (folded
+    bases change per proof, so per-window pre-scaling would cost more
+    than it saves); window recombination is the fused Horner kernel.
+
+    Returns (lr_packed (rounds, 33, 2), g0_packed (33, 2... col 0),
+    a0 (16,1), b0 (16,1))."""
+    from ..ops import pallas_field
+
+    n = a.shape[-1]
+    half = n // 2
+    W = -(-255 // c)
+    i_arr = jnp.arange(n, dtype=jnp.uint32)
+    j_arr = jnp.arange(half, dtype=jnp.uint32)
+    one_u = jnp.uint32(1)
+    zeros_n = F.zeros((n,))
+    mask0 = F.one_mont((n,))
+    lr0 = jnp.zeros((rounds, 33, 2), dtype=jnp.uint32)
+
+    # packed element-major row table of [g ++ h ++ u] (n+2 rows)
+    infbit = jnp.concatenate([ginf, hu_inf], axis=-1).astype(gx.dtype)
+    table = jnp.transpose(
+        jnp.concatenate(
+            [
+                msm.pack16(jnp.concatenate([gx, hu_x], axis=-1)),
+                msm.pack16(jnp.concatenate([gy, hu_y], axis=-1)),
+                infbit[None],
+            ],
+            axis=0,
+        ),
+        (1, 0),
+    )  # (n+2, L+1)
+    hu_tail = jnp.asarray([n, n + 1], dtype=jnp.uint32)
+
+    def round_body(k, carry):
+        a, b, mask, state, lr_acc = carry
+        ku = jnp.uint32(k)
+        shift = jnp.uint32(rounds - 1) - ku
+        bit_k = ((i_arr >> shift) & 1).astype(jnp.bool_)
+        m = jnp.uint32(n) >> (ku + 1)
+        idx_lo = i_arr & (m - 1)
+        idx_hi = idx_lo | m
+        prefmask = i_arr < m
+
+        a_hi_t = jnp.take(a, idx_hi, axis=-1)
+        a_lo_t = jnp.take(a, idx_lo, axis=-1)
+        b_hi_t = jnp.take(b, idx_hi, axis=-1)
+
+        prod_l = limb.select(prefmask, limb.mont_mul(F, a_hi_t, b), zeros_n)
+        prod_r = limb.select(prefmask, limb.mont_mul(F, a, b_hi_t), zeros_n)
+        ip_l = ntt.sum_mod(F, prod_l)
+        ip_r = ntt.sum_mod(F, prod_r)
+
+        lowbits = j_arr & ((one_u << shift) - one_u)
+        idx_L = ((j_arr >> shift) << (shift + one_u)) | lowbits
+        idx_R = idx_L | (one_u << shift)
+
+        w_l = jnp.take(limb.mont_mul(F, mask, a_hi_t), idx_L, axis=-1)
+        w_r = jnp.take(limb.mont_mul(F, mask, a_lo_t), idx_R, axis=-1)
+        body_s = limb.from_mont(F, jnp.stack([w_l, w_r], axis=1))
+        ips = limb.from_mont(F, jnp.stack([ip_l, ip_r], axis=1))
+        rand_k = jax.lax.dynamic_index_in_dim(
+            rand_lr_all, k, axis=1, keepdims=False
+        )
+        scal = jnp.concatenate([body_s, rand_k, ips], axis=-1)
+
+        ridx_L = jnp.concatenate([idx_L, hu_tail]).astype(jnp.int32)
+        ridx_R = jnp.concatenate([idx_R, hu_tail]).astype(jnp.int32)
+        ridx = jnp.broadcast_to(
+            jnp.stack([ridx_L, ridx_R], axis=0)[None], (W, 2, half + 2)
+        )
+        wins = msm._window_sums_body(curve, scal, (table, ridx), c)
+        comb = msm._combine_windows_body(curve, c, wins)
+        aff = curve.to_affine(comb)
+        xs = limb.select(aff.inf, F.zeros((2,)), aff.x)
+        ys = limb.select(aff.inf, F.zeros((2,)), aff.y)
+        lr_acc = lr_acc.at[k].set(
+            jnp.concatenate([xs, ys, aff.inf.astype(jnp.uint32)[None]], axis=0)
+        )
+
+        st, chal_limbs = pallas_field.sponge_squeeze2_fused(
+            Fq, sponge_rounds, state, xs, ys, rc_flat, mds_flat
+        )
+        u_arr, u_inv_arr = pallas_field.endo_inv_fused(
+            F, endo_r, pallas_field.bits128(chal_limbs)
+        )
+
+        a2 = limb.add(F, a, limb.mont_mul(F, jnp.take(a, idx_hi, axis=-1), u_inv_arr))
+        b2 = limb.add(F, b, limb.mont_mul(F, jnp.take(b, idx_hi, axis=-1), u_arr))
+        mask2 = limb.select(bit_k, limb.mont_mul(F, mask, u_arr), mask)
+        return (a2, b2, mask2, st, lr_acc)
+
+    a, b, mask, state, lr_acc = jax.lax.fori_loop(
+        0, rounds, round_body, (a, b, mask0, state0, lr0)
+    )
+
+    # sg = <mask_final, g> over the folded basis; b padded to 2 (the
+    # b=1 scaled-path miscompile workaround — see ops/msm.py msm())
+    mask_s = jnp.stack(
+        [limb.from_mont(F, mask), F.zeros((n,))], axis=1
+    )  # (16, 2, n)
+    ridx_g = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, None], (W, 2, n)
+    )
+    wins = msm._window_sums_body(curve, mask_s, (table, ridx_g), c)
+    comb = msm._combine_windows_body(curve, c, wins)
+    aff = curve.to_affine(comb)
+    g0_packed = jnp.concatenate(
+        [aff.x, aff.y, aff.inf.astype(jnp.uint32)[None]], axis=0
+    )  # (33, 2): column 0 is sg
+    return lr_acc, g0_packed, a[:, 0:1], b[:, 0:1]
 
 
 def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=None):
@@ -656,15 +878,53 @@ def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=Non
         ).reshape(-1)
     )
 
-    c_half = msm.default_window_bits(n // 2 + 2)
-    c_full = msm.default_window_bits(n + 1)  # shares the commit-MSM cache
-    lr_packed, g0_packed, a0_arr, b0_arr = _ipa_all_rounds(
-        F, Fq, dc, rounds, c_half, c_full, curve.endos[1], nrc,
-        a, b_arr, srs.scaled_basis(c_half), srs.scaled_basis(c_full),
-        u_dev, rand_all, state0, rc_flat, mds_flat,
-    )
-    host = jax.device_get((lr_packed, g0_packed, a0_arr, b0_arr))
-    lr_packed, g0_packed, a0_arr, b0_arr = host
+    # Hybrid fold design: explicitly fold the basis (reference
+    # ipa.rs:845-875) while it is large — each fold halves every
+    # subsequent round's MSM/sort/gather — then run the fixed-shape
+    # masked tail at M = PST_IPA_FOLD_TAIL points. Fold-step shapes are
+    # shared across k (k=16 adds one step on top of k=15's), and the
+    # tail instantiates once per (tail_rounds, M).
+    tail_target = int(os.environ.get("PST_IPA_FOLD_TAIL", "2048"))
+    f_rounds = max(0, rounds - (max(tail_target, 2).bit_length() - 1))
+    if f_rounds > 0:
+        Fb = dc.F
+        endo_q_m = Fb.const_mont(curve.endos[0], (1,))
+        hu = dc.pack_affine([srs.h, u_base])
+        gx, gy, ginf = srs.g_dev.x, srs.g_dev.y, srs.g_dev.inf
+        a_cur, b_cur, state = a, b_arr, state0
+        lr_folds = []
+        for k in range(f_rounds):
+            m = n >> k
+            c_k = msm.default_window_bits(m // 2 + 2)
+            a_cur, b_cur, gx, gy, ginf, state, lrp = _ipa_fold_step(
+                F, Fq, dc, c_k, curve.endos[1], nrc,
+                a_cur, b_cur, gx, gy, ginf, hu.x, hu.y, hu.inf,
+                state, rand_all[:, k], rc_flat, mds_flat, endo_q_m,
+            )
+            lr_folds.append(lrp)
+        M = n >> f_rounds
+        c_t = msm.default_window_bits(M // 2 + 2)
+        lr_tail, g0_pair, a0_arr, b0_arr = _ipa_tail_rounds(
+            F, Fq, dc, rounds - f_rounds, c_t, curve.endos[1], nrc,
+            a_cur, b_cur, gx, gy, ginf, hu.x, hu.y, hu.inf,
+            rand_all[:, f_rounds:], state, rc_flat, mds_flat,
+        )
+        host = jax.device_get((lr_folds, lr_tail, g0_pair, a0_arr, b0_arr))
+        lr_folds_h, lr_tail_h, g0_pair_h, a0_arr, b0_arr = host
+        lr_packed = np.concatenate(
+            [np.stack(lr_folds_h, axis=0), np.asarray(lr_tail_h)], axis=0
+        )
+        g0_packed = np.asarray(g0_pair_h)[:, 0:1]
+    else:
+        c_half = msm.default_window_bits(n // 2 + 2)
+        c_full = msm.default_window_bits(n + 1)  # shares the commit-MSM cache
+        lr_packed, g0_packed, a0_arr, b0_arr = _ipa_all_rounds(
+            F, Fq, dc, rounds, c_half, c_full, curve.endos[1], nrc,
+            a, b_arr, srs.scaled_basis(c_half), srs.scaled_basis(c_full),
+            u_dev, rand_all, state0, rc_flat, mds_flat,
+        )
+        host = jax.device_get((lr_packed, g0_packed, a0_arr, b0_arr))
+        lr_packed, g0_packed, a0_arr, b0_arr = host
 
     _, endo_r = curve.endos
     lr = []

@@ -78,21 +78,30 @@ def main():
     pts = dc.pack_affine(base_pts * (m // 256 + 1))
     ap = APoint(pts.x[:, :m], pts.y[:, :m], pts.inf[:m])
 
-    # element-major rows, per-batch (broadcast to b=2)
+    # packed element-major rows + composed global indices (the fused
+    # IPA round interface): table rows shared across windows here
     infbit = ap.inf.astype(ap.x.dtype)
     rows = jnp.transpose(
-        jnp.concatenate([ap.x, ap.y, infbit[None]], axis=0), (1, 0)
-    )  # (m, 33)
-    sem = jnp.broadcast_to(rows[None, None], (W, 2, m, 33))
+        jnp.concatenate(
+            [msm.pack16(ap.x), msm.pack16(ap.y), infbit[None]], axis=0
+        ),
+        (1, 0),
+    )  # (m, 17)
+    ridx = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32)[None, None, :], (W, 2, m)
+    )
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
-    def round_msm(curve, scal, c, sem):
-        wins = msm._window_sums_body(curve, scal, sem, c)
+    def round_msm(curve, scal, c, rows, ridx):
+        wins = msm._window_sums_body(curve, scal, (rows, ridx), c)
         total = msm._combine_windows_body(curve, c, wins)
         aff = curve.to_affine(total)
         return aff.x
 
-    timeit("round MSM (window_sums+horner+affine)", lambda: round_msm(dc, scal, c, sem))
+    timeit(
+        "round MSM (window_sums+horner+affine)",
+        lambda: round_msm(dc, scal, c, rows, ridx),
+    )
 
     # --- components of _window_sums_body -------------------------------
     digits = jnp.stack([msm._digits(scal, c, w) for w in range(W)], axis=0)
@@ -111,22 +120,23 @@ def main():
     order = (spacked & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
 
     @jax.jit
-    def gather_only(sem, order):
-        return jnp.take_along_axis(sem, order[..., None], axis=2)
+    def gather_only(rows, order):
+        return rows[order]
 
-    timeit("row gather (W,2,m,33)", lambda: gather_only(sem, order))
+    timeit("row gather packed (W,2,m,17)", lambda: gather_only(rows, order))
 
-    g = gather_only(sem, order)
+    g = gather_only(rows, order)
     gt = jnp.transpose(g, (3, 0, 1, 2))
     one = F.one_mont((W, 2, m))
-    pz = limb.select(gt[32] != 0, F.zeros((W, 2, m)), one)
+    pz = limb.select(gt[16] != 0, F.zeros((W, 2, m)), one)
+    gx, gy = msm.unpack16(gt[:8]), msm.unpack16(gt[8:16])
 
     @jax.jit
     def scan_only(x, y, z):
         (qx, qy, qz), (ex, ey, ez), C = pf.ec_prefix_scan_parts(F, x, y, z, mixed=True)
         return qz
 
-    timeit("ec scan parts (W,2,m)", lambda: scan_only(gt[:16], gt[16:32], pz))
+    timeit("ec scan parts (W,2,m)", lambda: scan_only(gx, gy, pz))
 
     # bucket reduction at this c
     D = 1 << c
@@ -142,7 +152,7 @@ def main():
     timeit(f"bucket suffix+sum (W,2,{D-1})", lambda: bucket_reduce(bx))
 
     # --- transcript kernels --------------------------------------------
-    from proof_systems_tpu.poseidon.sponge import sponge_for
+    from proof_systems_tpu.verifier_index import sponge_for
 
     sponge = sponge_for(Vesta)
     params = sponge.sponge.params
@@ -182,9 +192,7 @@ def main():
 
     timeit("sponge_squeeze2_fused", lambda: sponge_step(nrc, state0, xs, ys))
 
-    chal_limbs = jnp.asarray(limb.ints_to_limbs([12345678901234567890], shape=(1,)))[
-        :, 0
-    ]
+    chal_limbs = jnp.asarray(limb.ints_to_limbs([12345678901234567890], shape=(1,)))
 
     @jax.jit
     def endo_step(chal_limbs):
