@@ -218,6 +218,93 @@ def _sharded_msm_fn(curve: DeviceCurve, c: int, use_scaled: bool, mesh):
     return _jax.jit(sm)
 
 
+@functools.lru_cache(maxsize=None)
+def _point_sharded_msm_fn(curve: DeviceCurve, c: int, use_scaled: bool, mesh):
+    """POINT-axis-sharded MSM over a ('data',) mesh, for batches too
+    small to batch-shard (z commit b=2, sg): the n-point axis splits
+    across devices, each device runs the full Pippenger window-sum
+    graph on its local points (zero communication), the tiny (W, b)
+    per-device window partials all-gather over ICI and fold with
+    ndev-1 Jacobian adds per window. Mirrors the reference's rayon
+    point split (poly-commitment/src/ipa.rs:527-554) across chips.
+    Requires n % ndev == 0 (msm() pads). Cached per (curve, c, mesh)."""
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    ndev = mesh.devices.size
+
+    def local(scal, *leaves):
+        bases = JPoint(*leaves) if use_scaled else APoint(*leaves)
+        wins = _window_sums_body(curve, scal, bases, c)
+        stacked = jnp.stack([wins.x, wins.y, wins.z], axis=1)  # (16,3,W,b)
+        return _jax.lax.all_gather(stacked, "data")
+
+    in_specs = (P(None, None, "data"),) + (
+        (P(None, None, "data"),) * 3
+        if use_scaled
+        else (P(None, "data"), P(None, "data"), P("data"))
+    )
+    sm = _jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+    )
+
+    def full(scal, bases):
+        leaves = (
+            (bases.x, bases.y, bases.z)
+            if use_scaled
+            else (bases.x, bases.y, bases.inf)
+        )
+        gathered = sm(scal, *leaves)  # (S, 16, 3, W, b)
+
+        def fold(i, acc):
+            return curve.add(
+                acc,
+                JPoint(gathered[i, :, 0], gathered[i, :, 1], gathered[i, :, 2]),
+            )
+
+        first = JPoint(gathered[0, :, 0], gathered[0, :, 1], gathered[0, :, 2])
+        total = jax.lax.fori_loop(1, ndev, fold, first)
+        comb = (
+            sum_windows(curve, total)
+            if use_scaled
+            else _combine_windows_body(curve, c, total)
+        )
+        aff = curve.to_affine(comb)
+        return jnp.concatenate(
+            [aff.x, aff.y, aff.inf.astype(jnp.uint32)[None]], axis=0
+        )
+
+    return _jax.jit(full)
+
+
+def _pad_points_for_shard(curve: DeviceCurve, scalars, points, scaled, npad: int):
+    """Zero/identity-pad the point axis to npad for even sharding."""
+    n = scalars.shape[2]
+    extra = npad - n
+    scalars = jnp.concatenate(
+        [scalars, jnp.zeros((limb.NLIMBS, scalars.shape[1], extra), scalars.dtype)],
+        axis=2,
+    )
+    if scaled is not None:
+        W = scaled.x.shape[1]
+        zpad = jnp.zeros((limb.NLIMBS, W, extra), dtype=scaled.x.dtype)
+        scaled = JPoint(
+            jnp.concatenate([scaled.x, zpad], axis=2),
+            jnp.concatenate([scaled.y, zpad], axis=2),
+            jnp.concatenate([scaled.z, zpad], axis=2),  # z=0 -> identity
+        )
+        return scalars, None, scaled
+    zpad = jnp.zeros((limb.NLIMBS, extra), dtype=points.x.dtype)
+    points = APoint(
+        jnp.concatenate([points.x, zpad], axis=1),
+        jnp.concatenate([points.y, zpad], axis=1),
+        jnp.concatenate(
+            [points.inf, jnp.ones((extra,), dtype=points.inf.dtype)], axis=0
+        ),
+    )
+    return scalars, points, None
+
+
 def _decode_packed_affine(curve: DeviceCurve, packed) -> list:
     import numpy as np
 
@@ -543,6 +630,19 @@ def msm(
         if mesh is not None and split % mesh.devices.size == 0:
             fn = _sharded_msm_fn(curve, c, scaled is not None, mesh)
             packed = fn(part, scaled if scaled is not None else points)
+        elif mesh is not None:
+            # batch too small to split across devices: shard the POINT
+            # axis instead (z commit b=2, verifier b=1, sg) — each chip
+            # computes window partials on its points, all_gather + fold
+            ndev = mesh.devices.size
+            npad = -(-n // ndev) * ndev
+            part_p, pts_p, scaled_p = (
+                _pad_points_for_shard(curve, part, points, scaled, npad)
+                if npad != n
+                else (part, points, scaled)
+            )
+            fn = _point_sharded_msm_fn(curve, c, scaled is not None, mesh)
+            packed = fn(part_p, scaled_p if scaled is not None else pts_p)
         elif scaled is not None:
             packed = _msm_affine_scaled(curve, part, scaled, c)
         else:

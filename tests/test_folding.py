@@ -125,3 +125,18 @@ def test_decider_constraint_degree():
     inst = env.fresh(app_trace(3, 8), alpha=99)
     cons = decider_constraints(env, inst)
     assert len(cons) == 1
+
+
+def test_arrabbiata_cli_smoke(capsys):
+    """CLI parity with arrabbiata/src/cli.rs `execute` (zkapp, -n,
+    --srs-size): runs the square zkapp end-to-end and emits the
+    fold-throughput JSON line."""
+    import json
+
+    from proof_systems_tpu.folding.cli import execute
+
+    out = execute("square", 2, 8, decide=False)
+    assert out["iterations"] == 2 and out["rows_per_instance"] == 256
+    assert out["folds_per_s"] is None or out["folds_per_s"] > 0
+    printed = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(printed)["metric"] == "arrabbiata_fold_throughput"

@@ -159,3 +159,59 @@ def test_multidevice_create_proof_equals_single_device():
         os.environ.pop("PST_MESH", None)
         reset_mesh()
     assert serialize_proof(Vesta, proof_mesh) == serialize_proof(Vesta, proof_one)
+
+
+@pytest.mark.heavy
+def test_point_sharded_msm_parity():
+    """Point-axis-sharded MSM for small batches (ops/msm._point_sharded_msm_fn):
+    n splits across the 8-CPU mesh, per-device window partials all_gather
+    + fold. Covers the scaled (z-commit/sg) and unscaled (verifier)
+    paths, including point-count padding (n not divisible by ndev).
+
+    Heavy: compiles the full Pippenger graph under shard_map on CPU."""
+    import random
+
+    from test_msm_graph import _host_scaled
+
+    from proof_systems_tpu.curves import Vesta
+    from proof_systems_tpu.ops import msm as msm_mod
+    from proof_systems_tpu.ops.curve_ops import device_curve
+
+    mesh = _mesh()
+    rng = random.Random(31)
+    curve = device_curve(Vesta)
+    c = 6
+    W = -(-255 // c)
+    for n, use_scaled in ((64, True), (67, False)):
+        pts = [
+            Vesta.scalar_mul(rng.randrange(1, Vesta.scalar.p), Vesta.generator)
+            for _ in range(n)
+        ]
+        pts[3] = None
+        scal_rows = [
+            [rng.randrange(Vesta.scalar.p) for _ in range(n)] for _ in range(2)
+        ]
+        scal = jnp.asarray(
+            limb.ints_to_limbs(
+                [s for row in scal_rows for s in row], shape=(2, n)
+            )
+        )
+        ndev = mesh.devices.size
+        npad = -(-n // ndev) * ndev
+        if use_scaled:
+            scaled = _host_scaled(pts, c, W)
+            part, _, scaled_p = msm_mod._pad_points_for_shard(
+                curve, scal, None, scaled, npad
+            ) if npad != n else (scal, None, scaled)
+            fn = msm_mod._point_sharded_msm_fn(curve, c, True, mesh)
+            packed = fn(part, scaled_p)
+        else:
+            apts = curve.pack_affine(pts)
+            part, pts_p, _ = msm_mod._pad_points_for_shard(
+                curve, scal, apts, None, npad
+            ) if npad != n else (scal, apts, None)
+            fn = msm_mod._point_sharded_msm_fn(curve, c, False, mesh)
+            packed = fn(part, pts_p)
+        got = msm_mod._decode_packed_affine(curve, packed)
+        want = [Vesta.msm(row, pts) for row in scal_rows]
+        assert got == want, (n, use_scaled)

@@ -68,3 +68,72 @@ def test_hasher_domain_separation():
     ctx = create_kimchi("CodaSignature")
     assert ctx.hash(roi) == h1
     assert ctx.hash(roi) == h1
+
+
+def test_tx_type_currency_semantics():
+    """mina-tx-type/src/currency.rs parity: u64 checked arithmetic,
+    sign-magnitude Signed with zero normalized to positive."""
+    from proof_systems_tpu.mina.tx_type import Amount, Fee, Sign, Signed
+
+    a = Amount.new(720_000_000_000)
+    assert a.inner() == 720_000_000_000 and not a.is_zero()
+    assert Amount.new(0).is_zero()
+    assert a.checked_add(Amount((1 << 64) - 1)) is None  # overflow
+    assert Amount(3).checked_sub(Amount(5)) is None  # underflow
+    assert Amount(5).abs_diff(Amount(3)) == Amount(2)
+    assert Amount.new(Fee.new(7).inner()) == Fee(7).to_amount()
+
+    # Signed: zero always positive; opposite signs subtract magnitudes
+    assert Signed.new(Amount(0), Sign.NEG).sign is Sign.POS
+    s = Signed.pos(Amount(10)).checked_add(Signed.neg(Amount(4)))
+    assert s == Signed.pos(Amount(6))
+    s = Signed.pos(Amount(4)).checked_add(Signed.neg(Amount(10)))
+    assert s == Signed.neg(Amount(6))
+    s = Signed.neg(Amount(4)).checked_sub(Signed.neg(Amount(4)))
+    assert s is not None and s.is_zero() and s.is_pos()
+    assert (-Signed.pos(Amount(3))).is_neg()
+    assert Signed.pos(Amount((1 << 64) - 1)).checked_add(
+        Signed.pos(Amount(1))
+    ) is None
+
+
+def test_tx_type_coinbase():
+    """coinbase.rs parity: net_amount, fee-transfer presence, and the
+    ROInput composition with the hasher stack."""
+    from proof_systems_tpu.mina.hasher import create_kimchi
+    from proof_systems_tpu.mina.tx_type import (
+        Amount,
+        Coinbase,
+        CoinbaseFeeTransfer,
+        CompressedPubKey,
+        Fee,
+    )
+    from proof_systems_tpu.mina.signer import Keypair
+
+    producer = CompressedPubKey.from_point(Keypair(123).public)
+    worker = CompressedPubKey.from_point(Keypair(456).public)
+    assert producer.decompress() == Keypair(123).public
+
+    cb = Coinbase.new(producer, Amount.new(720_000_000_000))
+    assert not cb.has_fee_transfer()
+    assert cb.net_amount() == Amount(720_000_000_000)
+
+    ft = CoinbaseFeeTransfer(worker, Fee.new(10_000_000))
+    cb2 = Coinbase.with_fee_transfer(producer, Amount.new(720_000_000_000), ft)
+    assert cb2.has_fee_transfer()
+    assert cb2.net_amount() == Amount(720_000_000_000 - 10_000_000)
+    # fee exceeding amount -> None (invalid transaction guard)
+    assert Coinbase.with_fee_transfer(
+        producer, Amount(5), CoinbaseFeeTransfer(worker, Fee(6))
+    ).net_amount() is None
+
+    # ROInput layout is stable and hashable under domain separation
+    roi = cb2.to_roinput()
+    h = create_kimchi("CoinbaseTest").hash(roi)
+    assert 0 < h < __import__(
+        "proof_systems_tpu.curves", fromlist=["Pallas"]
+    ).Pallas.base.p
+    roi2 = Coinbase.new(producer, Amount(720_000_000_000)).to_roinput()
+    assert roi.to_bytes() != roi2.to_bytes()
+    # deterministic bytes: same transaction serializes identically
+    assert roi.to_bytes() == cb2.to_roinput().to_bytes()

@@ -101,3 +101,23 @@ def test_ipa_open_verify_roundtrip():
     batch[0].sponge = FqSponge(fq_kimchi, curve)
     batch[0].opening.z1 = (batch[0].opening.z1 + 1) % f.p
     assert not verify_batch(srs, batch, TestRng(4))
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize(
+    "curve,path",
+    [(Vesta, "/root/reference/srs/vesta.srs"), (Pallas, "/root/reference/srs/pallas.srs")],
+    ids=["vesta", "pallas"],
+)
+def test_full_srs_byte_parity(curve, path):
+    """ALL 2^16 SRS points byte-identical to the shipped reference files
+    (precomputed_srs.rs:250-258 re-derives and compares the full SRS;
+    the fast-tier test above checks only the first 8 points + h).
+
+    Derivation goes through SRS.create so the on-disk .npy cache both
+    serves and is validated by this test."""
+    ref_g, ref_h = srs_mod.load_reference_srs(path, curve, limit=None)
+    assert len(ref_g) == 1 << 16
+    ours = srs_mod.SRS.create(curve, 1 << 16)
+    assert ours.h == ref_h
+    assert ours.g == ref_g
