@@ -631,7 +631,7 @@ def combine_windows_fused(F: DeviceField, c: int, wx, wy, wz):
 # and the Fermat inverse of the challenge) was ~280 ms/round on the XLA
 # path (~1,200 sequential tiny mont_muls x ~0.24 ms of per-op dispatch);
 # fused into two kernel launches it is <1 ms. Semantics are identical to
-# poseidon/src/permutation.rs + sponge.rs:190-228 (see ipa._ipa_all_rounds
+# poseidon/src/permutation.rs + sponge.rs:190-228 (see ipa._ipa_tail_rounds
 # for the protocol context).
 # ---------------------------------------------------------------------------
 

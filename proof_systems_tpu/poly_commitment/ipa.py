@@ -477,138 +477,6 @@ def verify_batch(srs, batch: list[BatchEvaluationProof], rng) -> bool:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
-def _ipa_all_rounds(
-    F, Fq, curve, rounds, c_half, c_full, endo_r, sponge_rounds,
-    a, b, gh_scaled_half, gh_scaled_full, u_dev, rand_lr_all, state0,
-    rc_flat, mds_flat,
-):
-    """All folding rounds fused. Returns (lr_packed (rounds, 33, 2),
-    g0_packed (33, 2), a0 (16, 1), b0 (16, 1)).
-
-    Round k's L (resp. R) commitment only touches the n/2 basis points
-    whose index has bit_k == 0 (resp. 1), so each round's MSM is COMPACT:
-    the active half of g is gathered per round (per-batch point sets in
-    _window_sums_body) — half the EC-scan work of the earlier full-size
-    masked-scalar formulation, still ONE fixed MSM shape for all rounds.
-
-    The per-round transcript math (sponge permutations, endo expansion,
-    challenge inverse) runs in two fused pallas kernels per round
-    (ops/pallas_field.sponge_squeeze2_fused / endo_inv_fused) — on the
-    XLA path it was ~280 ms/round of sequential tiny-op dispatch."""
-    from ..ops import pallas_field
-
-    n = a.shape[-1]
-    half = n // 2
-    i_arr = jnp.arange(n, dtype=jnp.uint32)
-    j_arr = jnp.arange(half, dtype=jnp.uint32)
-    one_u = jnp.uint32(1)
-    zeros_n = F.zeros((n,))
-    mask0 = F.one_mont((n,))
-    lr0 = jnp.zeros((rounds, 33, 2), dtype=jnp.uint32)
-
-    # per-proof U base scaled to the rounds' window layout (g and h come
-    # pre-scaled from the SRS cache). The packed element-major rows of
-    # [g ++ h ++ u] form ONE flat (W*(n+2), L+1) table; each round only
-    # composes int32 indices (compact-half selection ∘ sort order) so a
-    # single row gather feeds the MSM.
-    W_half = gh_scaled_half.x.shape[1]
-    u_scaled = msm.scale_basis(curve, u_dev, c_half, W_half)  # (16, W, 1)
-    rows_gh = msm.elem_major_basis(F, gh_scaled_half)  # (W, n+1, L+1)
-    rows_u = msm.elem_major_basis(F, u_scaled)  # (W, 1, L+1)
-    table = jnp.concatenate([rows_gh, rows_u], axis=1).reshape(
-        W_half * (n + 2), limb.NLIMBS + 1
-    )
-    hu_tail = jnp.asarray([n, n + 1], dtype=jnp.uint32)
-    row_base = (jnp.arange(W_half, dtype=jnp.int32) * (n + 2))[:, None]
-
-    def round_body(k, carry):
-        a, b, mask, state, lr_acc = carry
-        ku = jnp.uint32(k)
-        shift = jnp.uint32(rounds - 1) - ku
-        bit_k = ((i_arr >> shift) & 1).astype(jnp.bool_)
-        m = jnp.uint32(n) >> (ku + 1)
-        idx_lo = i_arr & (m - 1)
-        idx_hi = idx_lo | m
-        prefmask = i_arr < m
-
-        a_hi_t = jnp.take(a, idx_hi, axis=-1)
-        a_lo_t = jnp.take(a, idx_lo, axis=-1)
-        b_hi_t = jnp.take(b, idx_hi, axis=-1)
-
-        prod_l = limb.select(prefmask, limb.mont_mul(F, a_hi_t, b), zeros_n)
-        prod_r = limb.select(prefmask, limb.mont_mul(F, a, b_hi_t), zeros_n)
-        ip_l = ntt.sum_mod(F, prod_l)
-        ip_r = ntt.sum_mod(F, prod_r)
-
-        # compact index sets: idx_L = sorted {i : bit_k(i) = 0} (insert a
-        # 0 bit at position `shift`), idx_R = the complementary half
-        lowbits = j_arr & ((one_u << shift) - one_u)
-        idx_L = ((j_arr >> shift) << (shift + one_u)) | lowbits
-        idx_R = idx_L | (one_u << shift)
-
-        w_l = jnp.take(limb.mont_mul(F, mask, a_hi_t), idx_L, axis=-1)
-        w_r = jnp.take(limb.mont_mul(F, mask, a_lo_t), idx_R, axis=-1)
-        body_s = limb.from_mont(F, jnp.stack([w_l, w_r], axis=1))
-        ips = limb.from_mont(F, jnp.stack([ip_l, ip_r], axis=1))
-        rand_k = jax.lax.dynamic_index_in_dim(
-            rand_lr_all, k, axis=1, keepdims=False
-        )  # (16, 2, 1)
-        scal = jnp.concatenate([body_s, rand_k, ips], axis=-1)  # (16, 2, half+2)
-
-        # compact per-round bases (g[idx] ++ h ++ u) as GLOBAL row
-        # indices into the flat table — composed with the sort order
-        # inside _window_sums_body so only one row gather runs
-        ridx_L = jnp.concatenate([idx_L, hu_tail]).astype(jnp.int32)[None, :] + row_base
-        ridx_R = jnp.concatenate([idx_R, hu_tail]).astype(jnp.int32)[None, :] + row_base
-        ridx = jnp.stack([ridx_L, ridx_R], axis=1)  # (W, 2, half+2)
-
-        wins = msm._window_sums_body(curve, scal, (table, ridx), c_half)
-        comb = msm.sum_windows(curve, wins)
-        aff = curve.to_affine(comb)
-        xs = limb.select(aff.inf, F.zeros((2,)), aff.x)
-        ys = limb.select(aff.inf, F.zeros((2,)), aff.y)
-        lr_acc = lr_acc.at[k].set(
-            jnp.concatenate([xs, ys, aff.inf.astype(jnp.uint32)[None]], axis=0)
-        )
-
-        # sponge: entry mode is "squeezed" -> absorb x_l, y_l, permute,
-        # absorb x_r, y_r, permute, challenge = low 128 bits of state[0];
-        # then 128-bit endo expansion + Fermat inverse — two fused kernels
-        st, chal_limbs = pallas_field.sponge_squeeze2_fused(
-            Fq, sponge_rounds, state, xs, ys, rc_flat, mds_flat
-        )
-        u_arr, u_inv_arr = pallas_field.endo_inv_fused(
-            F, endo_r, pallas_field.bits128(chal_limbs)
-        )
-
-        a2 = limb.add(F, a, limb.mont_mul(F, jnp.take(a, idx_hi, axis=-1), u_inv_arr))
-        b2 = limb.add(F, b, limb.mont_mul(F, jnp.take(b, idx_hi, axis=-1), u_arr))
-        mask2 = limb.select(bit_k, limb.mont_mul(F, mask, u_arr), mask)
-        return (a2, b2, mask2, st, lr_acc)
-
-    a, b, mask, state, lr_acc = jax.lax.fori_loop(
-        0, rounds, round_body, (a, b, mask0, state0, lr0)
-    )
-
-    # sg = <mask_final, g> over the full original basis (scaled, g part)
-    mask_s = limb.from_mont(F, mask)[:, None, :]  # (16, 1, n)
-    g_scaled = JPoint(
-        gh_scaled_full.x[:, :, :n],
-        gh_scaled_full.y[:, :, :n],
-        gh_scaled_full.z[:, :, :n],
-    )
-    wins = msm._window_sums_body(curve, mask_s, g_scaled, c_full)
-    comb = msm.sum_windows(curve, wins)
-    aff = curve.to_affine(comb)
-    g0_packed = jnp.concatenate(
-        [aff.x, aff.y, aff.inf.astype(jnp.uint32)[None]], axis=0
-    )
-    return lr_acc, g0_packed, a[:, 0:1], b[:, 0:1]
-
-
-
-
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _ipa_fold_step(
     F, Fq, curve, c, endo_r, sponge_rounds,
@@ -717,11 +585,14 @@ def _ipa_tail_rounds(
     a, b, gx, gy, ginf, hu_x, hu_y, hu_inf, rand_lr_all, state0,
     rc_flat, mds_flat,
 ):
-    """Masked-basis fixed-shape rounds over a FOLDED (unscaled) basis of
-    size M — the tail of the hybrid fold design. Identical round math to
-    _ipa_all_rounds, but the basis is a single unscaled copy (folded
-    bases change per proof, so per-window pre-scaling would cost more
-    than it saves); window recombination is the fused Horner kernel.
+    """Masked-basis fixed-shape rounds over an (unscaled) basis of size
+    M — the tail of the hybrid fold design, and the WHOLE round loop
+    when n <= tail_target (k=11 runs all 11 rounds here). The basis is
+    a single unscaled copy (folded bases change per proof, so
+    per-window pre-scaling would cost more than it saves); window
+    recombination is the fused Horner kernel. Round k's L/R only touch
+    the basis half with bit_k = 0/1, so each round's MSM gathers a
+    compact half via composed int32 row indices.
 
     Returns (lr_packed (rounds, 33, 2), g0_packed (33, 2... col 0),
     a0 (16,1), b0 (16,1))."""
@@ -842,7 +713,6 @@ def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=Non
     Fq = limb.device_field(params.field)
     n = len(srs.g)
 
-    u_dev = dc.pack_affine([u_base])
     blinders = [(rng.field(f.p), rng.field(f.p)) for _ in range(rounds)]
     flat = [v for lrpair in blinders for v in lrpair]
     rand_all = F.pack(flat, shape=(rounds, 2))[..., None]  # (16, rounds, 2, 1)
@@ -886,45 +756,46 @@ def _open_rounds_device(srs, sponge, F, a, b_arr, u_base, rng, rounds, debug=Non
     # tail instantiates once per (tail_rounds, M).
     tail_target = int(os.environ.get("PST_IPA_FOLD_TAIL", "2048"))
     f_rounds = max(0, rounds - (max(tail_target, 2).bit_length() - 1))
-    if f_rounds > 0:
-        Fb = dc.F
-        endo_q_m = Fb.const_mont(curve.endos[0], (1,))
-        hu = dc.pack_affine([srs.h, u_base])
-        gx, gy, ginf = srs.g_dev.x, srs.g_dev.y, srs.g_dev.inf
-        a_cur, b_cur, state = a, b_arr, state0
-        lr_folds = []
-        for k in range(f_rounds):
-            m = n >> k
-            c_k = msm.default_window_bits(m // 2 + 2)
-            a_cur, b_cur, gx, gy, ginf, state, lrp = _ipa_fold_step(
-                F, Fq, dc, c_k, curve.endos[1], nrc,
-                a_cur, b_cur, gx, gy, ginf, hu.x, hu.y, hu.inf,
-                state, rand_all[:, k], rc_flat, mds_flat, endo_q_m,
-            )
-            lr_folds.append(lrp)
-        M = n >> f_rounds
-        c_t = msm.default_window_bits(M // 2 + 2)
-        lr_tail, g0_pair, a0_arr, b0_arr = _ipa_tail_rounds(
-            F, Fq, dc, rounds - f_rounds, c_t, curve.endos[1], nrc,
+    Fb = dc.F
+    endo_q_m = Fb.const_mont(curve.endos[0], (1,))
+    hu = dc.pack_affine([srs.h, u_base])
+    gx, gy, ginf = srs.g_dev.x, srs.g_dev.y, srs.g_dev.inf
+    a_cur, b_cur, state = a, b_arr, state0
+    lr_folds = []
+    for k in range(f_rounds):
+        m = n >> k
+        c_k = msm.default_window_bits(m // 2 + 2)
+        a_cur, b_cur, gx, gy, ginf, state, lrp = _ipa_fold_step(
+            F, Fq, dc, c_k, curve.endos[1], nrc,
             a_cur, b_cur, gx, gy, ginf, hu.x, hu.y, hu.inf,
-            rand_all[:, f_rounds:], state, rc_flat, mds_flat,
+            state, rand_all[:, k], rc_flat, mds_flat, endo_q_m,
         )
-        host = jax.device_get((lr_folds, lr_tail, g0_pair, a0_arr, b0_arr))
-        lr_folds_h, lr_tail_h, g0_pair_h, a0_arr, b0_arr = host
+        lr_folds.append(lrp)
+    # The tail (rounds - f_rounds masked rounds at M points) is the SAME
+    # jit entry for every k >= log2(tail_target): k=11 runs it directly
+    # (f_rounds == 0, basis = srs.g_dev) with the exact static/dynamic
+    # shapes k=15's post-fold tail uses — one IPA code path for all k,
+    # and two fewer warmup MSM shapes than the retired pre-scaled
+    # _ipa_all_rounds design. Measured per-round cost is IDENTICAL
+    # (~38 ms/round at M=2048 either way): rounds are bound by the
+    # sequential depth of sort + EC scan + to_affine/sponge/endo-inverse
+    # chains, not by MSM width, so pre-scaling bought nothing.
+    M = n >> f_rounds
+    c_t = msm.default_window_bits(M // 2 + 2)
+    lr_tail, g0_pair, a0_arr, b0_arr = _ipa_tail_rounds(
+        F, Fq, dc, rounds - f_rounds, c_t, curve.endos[1], nrc,
+        a_cur, b_cur, gx, gy, ginf, hu.x, hu.y, hu.inf,
+        rand_all[:, f_rounds:], state, rc_flat, mds_flat,
+    )
+    host = jax.device_get((lr_folds, lr_tail, g0_pair, a0_arr, b0_arr))
+    lr_folds_h, lr_tail_h, g0_pair_h, a0_arr, b0_arr = host
+    if lr_folds_h:
         lr_packed = np.concatenate(
             [np.stack(lr_folds_h, axis=0), np.asarray(lr_tail_h)], axis=0
         )
-        g0_packed = np.asarray(g0_pair_h)[:, 0:1]
     else:
-        c_half = msm.default_window_bits(n // 2 + 2)
-        c_full = msm.default_window_bits(n + 1)  # shares the commit-MSM cache
-        lr_packed, g0_packed, a0_arr, b0_arr = _ipa_all_rounds(
-            F, Fq, dc, rounds, c_half, c_full, curve.endos[1], nrc,
-            a, b_arr, srs.scaled_basis(c_half), srs.scaled_basis(c_full),
-            u_dev, rand_all, state0, rc_flat, mds_flat,
-        )
-        host = jax.device_get((lr_packed, g0_packed, a0_arr, b0_arr))
-        lr_packed, g0_packed, a0_arr, b0_arr = host
+        lr_packed = np.asarray(lr_tail_h)
+    g0_packed = np.asarray(g0_pair_h)[:, 0:1]
 
     _, endo_r = curve.endos
     lr = []

@@ -81,7 +81,7 @@ def test_jacobian_double_parity():
 def test_sponge_endo_fused_parity():
     """Fused transcript kernels vs the host sponge golden model:
     absorb L, R points -> 128-bit challenge -> endo expansion -> inverse
-    (the per-round sequence of ipa._ipa_all_rounds)."""
+    (the per-round sequence of ipa._ipa_tail_rounds)."""
     import numpy as np
 
     from proof_systems_tpu.fields import Fp
