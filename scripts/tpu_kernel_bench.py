@@ -61,9 +61,11 @@ def main():
         def sync(res):
             # fetch ONE element (a device-side slice): forces the
             # computation without pulling the whole buffer through the
-            # tunnel (64 MB at the mont shape = ~70 ms of pure fetch)
+            # tunnel (64 MB at the mont shape = ~70 ms of pure fetch).
+            # Host results (e.g. msm.msm already fetched) need no sync.
             x = jax.tree_util.tree_leaves(res)[0]
-            jax.device_get(x[tuple(0 for _ in x.shape)])
+            if hasattr(x, "shape"):
+                jax.device_get(x[tuple(0 for _ in x.shape)])
 
         sync(fn())  # compile + 1st
         for _ in range(3):  # warm steady state
